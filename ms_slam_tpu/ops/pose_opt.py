@@ -59,7 +59,7 @@ def _residuals_jac(model, params, bf, R, t, X, uv, u_right, is_stereo):
          -lie.hat(Xc)], axis=-1)                            # (N,3,6)
     J = -jnp.einsum("nij,njk->nik", J3, dXc)                # residual = obs-pred
     J = jnp.where(is_stereo[..., None, None],
-                  J, J * jnp.asarray([1.0, 1.0, 0.0])[None, :, None])
+                  J, J * jnp.asarray([1.0, 1.0, 0.0], dtype=J.dtype)[None, :, None])
     return res, J
 
 
@@ -76,6 +76,14 @@ def pose_optimize(model: int, params: jnp.ndarray, bf: jnp.ndarray,
          (<0 => mono observation); sigma2: (N,) per-octave measurement
          variance (scale^2); mask: (N,) valid observation.
     """
+    dt = R0.dtype
+    params = params.astype(dt)
+    bf = jnp.asarray(bf, dtype=dt)
+    t0 = t0.astype(dt)
+    X = X.astype(dt)
+    uv = uv.astype(dt)
+    u_right = u_right.astype(dt)
+    sigma2 = sigma2.astype(dt)
     is_stereo = u_right >= 0.0
     w_info = 1.0 / jnp.maximum(sigma2, 1e-12)
 

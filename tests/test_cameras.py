@@ -4,7 +4,6 @@ import numpy as np
 
 from ms_slam_tpu.ops import cameras
 
-jax.config.update("jax_enable_x64", True)
 
 PIN = jnp.asarray([718.856, 718.856, 607.1928, 185.2157, 0, 0, 0, 0])  # KITTI-ish
 KB = jnp.asarray([190.978, 190.973, 254.932, 256.897,

@@ -5,7 +5,6 @@ import pytest
 
 from ms_slam_tpu.ops import lie
 
-jax.config.update("jax_enable_x64", True)
 
 
 def rand_w(rng, n=32, scale=2.0):
