@@ -1,0 +1,159 @@
+"""Batched Schur-complement bundle adjustment.
+
+Replaces g2o's SparseOptimizer + BlockSolver_6_3 as used by
+Optimizer::LocalBundleAdjustment (/root/reference/src/Optimizer.cc:1040) and
+GlobalBundleAdjustemnt (:51): Levenberg-damped Gauss-Newton over SE(3) camera
+blocks and 3D point blocks with Huber robustification and chi2 outlier
+removal at the end (the reference's two-stage 5+5 iteration schedule).
+
+TPU formulation (one fused jit, no host round-trips):
+- every observation is a row in a static-capacity factor table
+  (cam idx, point idx, uv, uR, sigma2, valid);
+- per-iteration: batched residual/Jacobian -> segment-sum into per-camera
+  6x6 blocks, per-point 3x3 blocks, and the camera-point coupling W
+  scattered into a dense (P, C*6, 3) tensor (C is small for local BA);
+- Schur: S = Hcc - sum_p W_p Hpp_p^-1 W_p^T, one dense solve on the reduced
+  camera system (MXU einsums), then point back-substitution;
+- fixed cameras (the reference's "fixed KFs" gauge anchors) simply have
+  their Jacobian columns masked out.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras, lie, robust
+
+
+class BAResult(NamedTuple):
+    kf_R: jnp.ndarray
+    kf_t: jnp.ndarray
+    mp_pos: jnp.ndarray
+    f_chi2: jnp.ndarray    # (F,) final per-factor chi2
+    f_inlier: jnp.ndarray  # (F,) bool (chi2 gate at the reference cuts)
+
+
+def _factor_res_jac(model, params, bf, R_all, t_all, P_all,
+                    f_cam, f_pt, f_uv, f_ur, is_stereo):
+    """Residual (F,3) and Jacobians wrt camera tangent (F,3,6) and point
+    position (F,3,3)."""
+    R = R_all[f_cam]
+    t = t_all[f_cam]
+    X = P_all[f_pt]
+    Xc = lie.se3_apply(R, t, X)
+    uv_pred = cameras.project(model, params, Xc)
+    z = jnp.maximum(Xc[..., 2], 1e-6)
+    ur_pred = uv_pred[..., 0] - bf / z
+    r2 = f_uv - uv_pred
+    r3 = jnp.where(is_stereo, f_ur - ur_pred, 0.0)
+    res = jnp.concatenate([r2, r3[..., None]], axis=-1)
+
+    Jproj = cameras.project_jac(model, params, Xc)  # (F,2,3)
+    dur = Jproj[:, 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z * z)], axis=-1)
+    J3 = jnp.concatenate([Jproj, dur[:, None, :]], axis=1)  # (F,3,3) d(uvr)/dXc
+    stereo_row = jnp.where(is_stereo[:, None, None],
+                           jnp.ones((1, 3, 1), J3.dtype),
+                           jnp.asarray([1.0, 1.0, 0.0], J3.dtype)[None, :, None])
+    J3 = J3 * stereo_row
+    # camera: left perturbation exp(xi) T => dXc/dv=I, dXc/dw=-hat(Xc)
+    dXc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)),
+         -lie.hat(Xc)], axis=-1)                       # (F,3,6)
+    Jc = -jnp.einsum("fij,fjk->fik", J3, dXc_dxi)      # dres/dxi
+    Jp = -jnp.einsum("fij,fjk->fik", J3, R)            # dres/dXw
+    return res, Jc, Jp
+
+
+@partial(jax.jit, static_argnames=("model", "n_iters"))
+def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
+             kf_R: jnp.ndarray, kf_t: jnp.ndarray, cam_opt: jnp.ndarray,
+             mp_pos: jnp.ndarray, pt_opt: jnp.ndarray,
+             f_cam: jnp.ndarray, f_pt: jnp.ndarray, f_uv: jnp.ndarray,
+             f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
+             n_iters: int = 10, lam: float = 1e-4) -> BAResult:
+    """Bundle adjust C cameras and P points over F factors.
+
+    cam_opt: (C,) bool — False = fixed camera (gauge anchor).
+    pt_opt:  (P,) bool — False = fixed point.
+    """
+    C = kf_R.shape[0]
+    P = mp_pos.shape[0]
+    dt = kf_R.dtype
+    params = params.astype(dt)
+    bf = jnp.asarray(bf, dt)
+    is_stereo = f_ur >= 0.0
+    w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    def iteration(state, _):
+        R_all, t_all, P_all = state
+        res, Jc, Jp = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
+                                      f_cam, f_pt, f_uv, f_ur, is_stereo)
+        chi2 = jnp.sum(res * res, axis=-1) * w_info
+        w = robust.huber_weight(chi2, hub_d2) * w_info
+        # mask fixed cameras / points via Jacobian zeroing
+        Jc = jnp.where(cam_opt[f_cam][:, None, None], Jc, 0.0)
+        Jp = jnp.where(pt_opt[f_pt][:, None, None], Jp, 0.0)
+
+        JcW = Jc * w[:, None, None]
+        JpW = Jp * w[:, None, None]
+
+        Hcc = jnp.zeros((C, 6, 6), dt).at[f_cam].add(
+            jnp.einsum("fij,fik->fjk", JcW, Jc))
+        bc = jnp.zeros((C, 6), dt).at[f_cam].add(
+            -jnp.einsum("fij,fi->fj", JcW, res))
+        Hpp = jnp.zeros((P, 3, 3), dt).at[f_pt].add(
+            jnp.einsum("fij,fik->fjk", JpW, Jp))
+        bp = jnp.zeros((P, 3), dt).at[f_pt].add(
+            -jnp.einsum("fij,fi->fj", JpW, res))
+        # coupling W_(p,c) scattered dense over (P, C, 6, 3); camera-major
+        # flattening matches the (C*6,) layout of the reduced system
+        Wcp = jnp.einsum("fij,fik->fjk", JcW, Jp)       # (F,6,3)
+        W = jnp.zeros((P, C, 6, 3), dt).at[f_pt, f_cam].add(Wcp)
+        W = W.reshape(P, C * 6, 3)
+
+        # damping + fixed-block regularization
+        eyeC = jnp.eye(6, dtype=dt)
+        Hcc = Hcc + (lam * jax.vmap(lambda h: jnp.diag(jnp.diag(h)))(Hcc)
+                     + 1e-8 * eyeC)
+        eyeP = jnp.eye(3, dtype=dt)
+        Hpp = Hpp + (lam * jax.vmap(lambda h: jnp.diag(jnp.diag(h)))(Hpp)
+                     + 1e-8 * eyeP)
+        Hpp_inv = jnp.linalg.inv(Hpp)
+
+        # Schur reduce onto cameras: block-diagonal embed of Hcc
+        Hcc_big = jnp.zeros((C * 6, C * 6), dt)
+        Hcc_big = Hcc_big.at[
+            (jnp.arange(C)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+            (jnp.arange(C)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+        ].set(Hcc)
+        S = Hcc_big - jnp.einsum("pax,pxy,pby->ab", W, Hpp_inv, W)
+        v = bc.reshape(C * 6) - jnp.einsum("pax,pxy,py->a", W, Hpp_inv, bp)
+
+        dxc = jnp.linalg.solve(S + 1e-8 * jnp.eye(C * 6, dtype=dt), v)
+        dxp = jnp.einsum("pxy,py->px", Hpp_inv,
+                         bp - jnp.einsum("pax,a->px", W, dxc))
+
+        dxc = dxc.reshape(C, 6) * cam_opt[:, None]
+        dxp = dxp * pt_opt[:, None]
+        dR, dtc = lie.se3_exp(dxc)
+        R_new, t_new = lie.se3_compose(dR, dtc, R_all, t_all)
+        R_new = lie.normalize_rotation(R_new)
+        P_new = P_all + dxp
+        return (R_new, t_new, P_new), jnp.sum(chi2 * f_valid)
+
+    state = (kf_R, kf_t, mp_pos)
+    state, costs = jax.lax.scan(iteration, state, None, length=n_iters)
+    R_all, t_all, P_all = state
+    res, _, _ = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
+                                f_cam, f_pt, f_uv, f_ur, is_stereo)
+    chi2 = jnp.sum(res * res, axis=-1) * jnp.where(
+        f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    Xc_z = lie.se3_apply(R_all[f_cam], t_all[f_cam], P_all[f_pt])[..., 2]
+    inlier = f_valid & (chi2 <= hub_d2) & (Xc_z > 0)
+    return BAResult(kf_R=R_all, kf_t=t_all, mp_pos=P_all,
+                    f_chi2=chi2, f_inlier=inlier)
