@@ -65,7 +65,7 @@ def _factor_res_jac(model, params, bf, R_all, t_all, P_all,
          -lie.hat(Xc)], axis=-1)                       # (F,3,6)
     Jc = -jnp.einsum("fij,fjk->fik", J3, dXc_dxi)      # dres/dxi
     Jp = -jnp.einsum("fij,fjk->fik", J3, R)            # dres/dXw
-    return res, Jc, Jp
+    return res, Jc, Jp, Xc[..., 2]
 
 
 @partial(jax.jit, static_argnames=("model", "n_iters"))
@@ -89,12 +89,17 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
     hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
 
-    def iteration(state, _):
+    def iteration(state, keep):
         R_all, t_all, P_all = state
-        res, Jc, Jp = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
-                                      f_cam, f_pt, f_uv, f_ur, is_stereo)
+        res, Jc, Jp, z = _factor_res_jac(model, params, bf, R_all, t_all,
+                                         P_all, f_cam, f_pt, f_uv, f_ur,
+                                         is_stereo)
         chi2 = jnp.sum(res * res, axis=-1) * w_info
-        w = robust.huber_weight(chi2, hub_d2) * w_info
+        # deactivate behind-camera factors this iteration (g2o edges check
+        # depth positivity; without this a clamped z ~ 1e-6 explodes the
+        # normal equations)
+        active = (z > 1e-2) & keep
+        w = robust.huber_weight(chi2, hub_d2) * w_info * active
         # mask fixed cameras / points via Jacobian zeroing
         Jc = jnp.where(cam_opt[f_cam][:, None, None], Jc, 0.0)
         Jp = jnp.where(pt_opt[f_pt][:, None, None], Jp, 0.0)
@@ -146,11 +151,24 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
         P_new = P_all + dxp
         return (R_new, t_new, P_new), jnp.sum(chi2 * f_valid)
 
+    # two-stage schedule like the reference (5 iters, drop chi2 outliers,
+    # 5 more — src/Optimizer.cc LocalBundleAdjustment)
     state = (kf_R, kf_t, mp_pos)
-    state, costs = jax.lax.scan(iteration, state, None, length=n_iters)
+    keep_all = jnp.ones_like(f_valid)
+    state, _ = jax.lax.scan(
+        lambda s, _: iteration(s, keep_all), state, None,
+        length=max(n_iters // 2, 1))
     R_all, t_all, P_all = state
-    res, _, _ = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
-                                f_cam, f_pt, f_uv, f_ur, is_stereo)
+    res, _, _, z = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
+                                   f_cam, f_pt, f_uv, f_ur, is_stereo)
+    mid_chi2 = jnp.sum(res * res, axis=-1) * w_info
+    keep = (mid_chi2 <= 2.0 * hub_d2) & (z > 1e-2)
+    state, _ = jax.lax.scan(
+        lambda s, _: iteration(s, keep), state, None,
+        length=max(n_iters - n_iters // 2, 1))
+    R_all, t_all, P_all = state
+    res, _, _, _ = _factor_res_jac(model, params, bf, R_all, t_all, P_all,
+                                   f_cam, f_pt, f_uv, f_ur, is_stereo)
     chi2 = jnp.sum(res * res, axis=-1) * jnp.where(
         f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
     Xc_z = lie.se3_apply(R_all[f_cam], t_all[f_cam], P_all[f_pt])[..., 2]

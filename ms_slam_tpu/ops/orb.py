@@ -306,7 +306,12 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     Equivalent surface to ORBextractor::operator()
     (ref include/ORBextractor.h:57).
     """
-    levels = build_pyramid(img, cfg)
+    return extract_from_pyramid(build_pyramid(img, cfg), cfg)
+
+
+def extract_from_pyramid(levels, cfg: OrbConfig) -> Features:
+    """Extraction given a prebuilt pyramid (lets the frame pipeline share
+    the pyramid with stereo SAD refinement)."""
     quotas = cfg.level_quotas()
     scales = cfg.level_scales()
 

@@ -1,0 +1,71 @@
+"""Jitted stereo frame processing front end.
+
+Replaces the Frame constructor pipeline of the reference
+(/root/reference/src/Frame.cc: dual-thread ORB extraction :122-124,
+undistortion, grid assignment, ComputeStereoMatches :169): here one fused
+jit takes the rectified pair and returns features + stereo depth on device.
+The reference's left/right thread parallelism becomes batched kernels; the
+64x48 feature grid is unnecessary (matching is all-pairs on the MXU).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import orb, stereo
+
+
+class Calib(NamedTuple):
+    """Static camera calibration (hashable -> jit static argument).
+
+    Mirrors Settings' camera section (/root/reference/src/Settings.cc:144-:
+    fx fy cx cy, stereo bf, depth threshold)."""
+
+    model: int              # cameras.PINHOLE / cameras.KB8
+    params: tuple           # up to 8 floats (fx, fy, cx, cy, k0..k3)
+    bf: float               # baseline * fx
+    width: int
+    height: int
+    th_depth: float = 35.0  # close/far stereo point threshold (ref ThDepth)
+    fps: float = 10.0
+
+    def params_array(self):
+        import numpy as np
+        p = np.zeros(8, np.float32)
+        p[:len(self.params)] = self.params
+        return jnp.asarray(p)
+
+    @property
+    def min_z(self) -> float:
+        # minimum triangulable depth ~ baseline (ref mb = mbf/fx)
+        return max(self.bf / self.params[0], 0.1)
+
+
+class FrameData(NamedTuple):
+    """Device-resident per-frame working state (ref Frame object)."""
+
+    feats: orb.Features
+    u_right: jnp.ndarray   # (N,)
+    depth: jnp.ndarray     # (N,)
+    sigma2: jnp.ndarray    # (N,) per-octave measurement variance
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                   calib: Calib, orb_cfg: orb.OrbConfig) -> FrameData:
+    """Extract ORB on both images and stereo-match (the per-frame hot path
+    ahead of tracking)."""
+    pyr_l = orb.build_pyramid(img_l, orb_cfg)
+    pyr_r = orb.build_pyramid(img_r, orb_cfg)
+    feats_l = orb.extract_from_pyramid(pyr_l, orb_cfg)
+    feats_r = orb.extract_from_pyramid(pyr_r, orb_cfg)
+    sm = stereo.match_stereo(feats_l, feats_r, pyr_l, pyr_r,
+                             calib.bf, calib.min_z, orb_cfg)
+    scale2 = jnp.asarray(
+        [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
+    sigma2 = scale2[feats_l.octave]
+    return FrameData(feats=feats_l, u_right=sm.u_right, depth=sm.depth,
+                     sigma2=sigma2)

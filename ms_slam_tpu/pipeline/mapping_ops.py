@@ -1,0 +1,326 @@
+"""Jitted structural map operations used by the local-mapping stage.
+
+Covers the per-keyframe work of LocalMapping::Run
+(/root/reference/src/LocalMapping.cc): keyframe insertion with stereo
+map-point spawning (ref Tracking::CreateNewKeyFrame close-point creation,
+src/Tracking.cc:3224-3308), triangulation of new points against covisible
+keyframes (CreateNewMapPoints :414), duplicate fusion (SearchInNeighbors
+:735), local bundle adjustment (Optimizer::LocalBundleAdjustment) and
+map-point culling (MapPointCulling :370) — all as pure MapState->MapState
+jits with static capacities.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import map_state as M
+from ..ops import ba, cameras, hamming, lie, matching, triangulate
+from .frontend import Calib, FrameData
+from ..ops.orb import OrbConfig
+
+
+def _scale2(orb_cfg: OrbConfig):
+    return jnp.asarray([s * s for s in orb_cfg.level_scales()], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe creation
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("calib",))
+def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
+                    frame: FrameData, R: jnp.ndarray, t: jnp.ndarray,
+                    matched_mp: jnp.ndarray, mp_base: jnp.ndarray,
+                    frame_id: jnp.ndarray, depth_max: jnp.ndarray):
+    """Insert a keyframe; spawn map points for stereo features without a
+    map-point match, up to depth_max (th_depth normally; unbounded at map
+    initialization, ref Tracking::StereoInitialization unprojects every
+    depth, src/Tracking.cc:2321-). Returns (ms, n_new)."""
+    f = frame.feats
+    params = calib.params_array()
+    close = (frame.depth > 0) & (frame.depth <= depth_max)
+    new_mask = f.valid & close & (matched_mp < 0)
+    offset = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    M_cap = ms.mp_pos.shape[0]
+    slots = jnp.where(new_mask & (mp_base + offset < M_cap),
+                      mp_base + offset, M_cap)
+    obs = jnp.where(matched_mp >= 0, matched_mp,
+                    jnp.where(slots < M_cap, slots, -1)).astype(jnp.int32)
+
+    # unproject stereo features to world
+    ray = cameras.unproject(calib.model, params, f.xy)
+    Xc = ray * frame.depth[:, None]
+    Rwc = R.T
+    Ow = -Rwc @ t
+    Xw = jnp.einsum("ij,nj->ni", Rwc, Xc) + Ow
+
+    dist = jnp.linalg.norm(Xw - Ow, axis=-1)
+    normal = (Xw - Ow) / jnp.maximum(dist, 1e-9)[:, None]
+    # scale range (ref MapPoint ctor: maxDist = dist*scale^level)
+    sf = 1.2
+    n_lv = 8
+    level_scale = sf ** f.octave.astype(jnp.float32)
+    max_dist = dist * level_scale
+    min_dist = max_dist / (sf ** (n_lv - 1))
+
+    ms = M.insert_keyframe(ms, slot, R, t, f.xy, f.octave, f.desc,
+                           frame.u_right, frame.depth, f.valid, obs, frame_id)
+    ms = M.add_map_points(ms, jnp.where(new_mask, slots, M_cap), new_mask,
+                          Xw, f.desc, normal, min_dist, max_dist,
+                          jnp.broadcast_to(slot, new_mask.shape))
+    n_new = jnp.sum(new_mask & (slots < M_cap)).astype(jnp.int32)
+    return ms, n_new
+
+
+# ---------------------------------------------------------------------------
+# Triangulation against one covisible neighbor
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def triangulate_with(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                     kf_a: jnp.ndarray, kf_b: jnp.ndarray,
+                     mp_base: jnp.ndarray):
+    """Create new map points by epipolar-matched triangulation between two
+    keyframes (ref LocalMapping::CreateNewMapPoints /
+    ORBmatcher::SearchForTriangulation). Returns (ms, n_new)."""
+    params = calib.params_array()
+    Ra, ta = ms.kf_R[kf_a], ms.kf_t[kf_a]
+    Rb, tb = ms.kf_R[kf_b], ms.kf_t[kf_b]
+    # relative: cam_b <- cam_a
+    Rab = Rb @ Ra.T
+    tab = tb - Rab @ ta
+
+    # baseline must exceed stereo baseline (ref LocalMapping.cc:449)
+    baseline = jnp.linalg.norm(tab)
+    b_ok = baseline > calib.bf / calib.params[0]
+
+    free_a = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] < 0)
+    free_b = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] < 0)
+    s2 = _scale2(orb_cfg)
+    sig_b = s2[ms.kp_octave[kf_b]]
+    epi = matching.epipolar_mask(calib.model, params, Rab, tab,
+                                 ms.kp_xy[kf_a], ms.kp_xy[kf_b], sig_b)
+    mm = matching.mutual_match(ms.kp_desc[kf_a], free_a,
+                               ms.kp_desc[kf_b], free_b,
+                               max_dist=matching.TH_LOW, nn_ratio=0.6,
+                               extra_mask=epi)
+    has = (mm.idx_b >= 0) & b_ok
+    ib = jnp.clip(mm.idx_b, 0)
+
+    xn_a = cameras.unproject(calib.model, params, ms.kp_xy[kf_a])
+    xn_b_all = cameras.unproject(calib.model, params, ms.kp_xy[kf_b])
+    xn_b = xn_b_all[ib]
+    N = xn_a.shape[0]
+    Pa = jnp.broadcast_to(jnp.concatenate([Ra, ta[:, None]], 1), (N, 3, 4))
+    Pb = jnp.broadcast_to(jnp.concatenate([Rb, tb[:, None]], 1), (N, 3, 4))
+    Xw = triangulate.triangulate_dlt(xn_a, xn_b, Pa, Pb)
+
+    # cheirality + parallax + reprojection gates
+    Xca = lie.se3_apply(Ra, ta, Xw)
+    Xcb = lie.se3_apply(Rb, tb, Xw)
+    Oa = -Ra.T @ ta
+    Ob = -Rb.T @ tb
+    va = Xw - Oa
+    vb = Xw - Ob
+    cos_par = (jnp.sum(va * vb, -1)
+               / jnp.maximum(jnp.linalg.norm(va, axis=-1)
+                             * jnp.linalg.norm(vb, axis=-1), 1e-9))
+    uva = cameras.project(calib.model, params, Xca)
+    uvb = cameras.project(calib.model, params, Xcb)
+    ea = jnp.sum((uva - ms.kp_xy[kf_a]) ** 2, -1) / s2[ms.kp_octave[kf_a]]
+    eb = jnp.sum((uvb - ms.kp_xy[kf_b][ib]) ** 2, -1) / sig_b[ib]
+    good = (has & (Xca[:, 2] > 0) & (Xcb[:, 2] > 0)
+            & (cos_par < 0.9998) & (cos_par > 0)
+            & (ea < 5.991) & (eb < 5.991))
+
+    # allocate
+    M_cap = ms.mp_pos.shape[0]
+    offset = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slots = jnp.where(good & (mp_base + offset < M_cap), mp_base + offset, M_cap)
+
+    dist = jnp.linalg.norm(va, axis=-1)
+    normal = va / jnp.maximum(dist, 1e-9)[:, None]
+    level_scale = 1.2 ** ms.kp_octave[kf_a].astype(jnp.float32)
+    max_dist = dist * level_scale
+    min_dist = max_dist / (1.2 ** 7)
+
+    ms = M.add_map_points(ms, slots, good & (slots < M_cap), Xw,
+                          ms.kp_desc[kf_a], normal, min_dist, max_dist,
+                          jnp.broadcast_to(kf_a, good.shape))
+    # write observations in both keyframes
+    slot_or_neg = jnp.where(good & (slots < M_cap), slots, -1).astype(jnp.int32)
+    obs_a = jnp.where(slot_or_neg >= 0, slot_or_neg, ms.obs_mp[kf_a])
+    ms = ms._replace(obs_mp=ms.obs_mp.at[kf_a].set(obs_a))
+    tgt_b = jnp.where(slot_or_neg >= 0, ib, ms.obs_mp.shape[1])
+    row_b = ms.obs_mp[kf_b].at[tgt_b].set(slot_or_neg, mode="drop")
+    ms = ms._replace(obs_mp=ms.obs_mp.at[kf_b].set(row_b))
+    n_new = jnp.sum(good & (slots < M_cap)).astype(jnp.int32)
+    return ms, n_new
+
+
+# ---------------------------------------------------------------------------
+# Fusion of duplicate points into a target keyframe
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def fuse_into(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+              kf_t: jnp.ndarray, cand_idx: jnp.ndarray,
+              cand_valid: jnp.ndarray):
+    """Project candidate map points into keyframe kf_t; matched features
+    either gain the observation or trigger a duplicate merge keeping the
+    better-observed point (ref ORBmatcher::Fuse, src/ORBmatcher.cc:1404,
+    and MapPoint::Replace)."""
+    params = calib.params_array()
+    pm = matching.search_by_projection(
+        calib.model, params, ms.kf_R[kf_t], ms.kf_t[kf_t],
+        calib.width, calib.height,
+        ms.mp_pos[cand_idx], ms.mp_normal[cand_idx],
+        ms.mp_min_dist[cand_idx], ms.mp_max_dist[cand_idx],
+        ms.mp_desc[cand_idx], cand_valid & ms.mp_valid[cand_idx],
+        ms.kp_xy[kf_t], ms.kp_octave[kf_t], ms.kp_desc[kf_t],
+        ms.kp_valid[kf_t],
+        th_radius=3.0, nn_ratio=1.0,
+        scale_factor=orb_cfg.scale_factor, n_levels=orb_cfg.n_levels)
+    cand_of_feat = jnp.where(pm.mp_slot >= 0,
+                             cand_idx[jnp.clip(pm.mp_slot, 0)], -1)
+    cur = ms.obs_mp[kf_t]
+    n_obs = M.mp_obs_count(ms)
+
+    # features with no point: add observation
+    add = (cand_of_feat >= 0) & (cur < 0)
+    new_row = jnp.where(add, cand_of_feat, cur)
+
+    # features with a different point: merge (loser -> winner everywhere)
+    conflict = (cand_of_feat >= 0) & (cur >= 0) & (cand_of_feat != cur)
+    cand_obs = n_obs[jnp.clip(cand_of_feat, 0)]
+    cur_obs = n_obs[jnp.clip(cur, 0)]
+    winner = jnp.where(cand_obs >= cur_obs, cand_of_feat, cur)
+    loser = jnp.where(cand_obs >= cur_obs, cur, cand_of_feat)
+    Mc = ms.mp_pos.shape[0]
+    remap = jnp.arange(Mc, dtype=jnp.int32)
+    remap = remap.at[jnp.where(conflict, loser, Mc)].set(
+        jnp.where(conflict, winner, 0), mode="drop")
+    # kill losers and rewrite every observation through the remap
+    mp_valid = ms.mp_valid.at[jnp.where(conflict, loser, Mc)].set(
+        False, mode="drop")
+    obs_all = ms.obs_mp.at[kf_t].set(new_row)
+    obs_all = jnp.where(obs_all >= 0, remap[jnp.clip(obs_all, 0)], obs_all)
+    return ms._replace(obs_mp=obs_all, mp_valid=mp_valid)
+
+
+# ---------------------------------------------------------------------------
+# Local bundle adjustment over a covisibility window
+# ---------------------------------------------------------------------------
+
+class LocalBAOut(NamedTuple):
+    ms: M.MapState
+    n_factors: jnp.ndarray
+    n_outliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_fixed", "pt_cap",
+                                   "n_iters"))
+def local_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+             win_idx: jnp.ndarray, win_mask: jnp.ndarray,
+             fix_idx: jnp.ndarray, fix_mask: jnp.ndarray,
+             n_fixed: int, pt_cap: int, n_iters: int = 8) -> LocalBAOut:
+    """Window BA: optimize win keyframes + their points, anchored by fixed
+    keyframes (ref Optimizer::LocalBundleAdjustment, src/Optimizer.cc:1040).
+
+    win_idx: (Wk,) keyframe slots (padded; win_mask marks real ones).
+    fix_idx: (n_fixed,) anchor keyframe slots.
+    """
+    params = calib.params_array()
+    Wk = win_idx.shape[0]
+    cams = jnp.concatenate([win_idx, fix_idx])           # (C,)
+    cam_mask = jnp.concatenate([win_mask, fix_mask])
+    cam_opt = jnp.concatenate(
+        [win_mask, jnp.zeros((n_fixed,), bool)])
+
+    # points seen from the window
+    pmask = M.local_map_mask(ms, win_idx, win_mask)
+    pt_idx, pt_valid = M.gather_local_points(ms, pmask, pt_cap)
+    Mc = ms.mp_pos.shape[0]
+    inv = jnp.full((Mc + 1,), -1, jnp.int32).at[
+        jnp.where(pt_valid, pt_idx, Mc)].set(
+        jnp.arange(pt_cap, dtype=jnp.int32), mode="drop")
+
+    # factor table = flattened (C, N) observations restricted to the point set
+    obs = ms.obs_mp[cams]                                 # (C,N)
+    f_pt_dense = inv[jnp.clip(obs, 0, Mc)]
+    f_valid = (obs >= 0) & (f_pt_dense >= 0) & cam_mask[:, None] \
+        & ms.kp_valid[cams]
+    C = cams.shape[0]
+    N = obs.shape[1]
+    f_cam = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
+    s2 = _scale2(orb_cfg)
+    f_sigma2 = s2[ms.kp_octave[cams]]
+
+    res = ba.ba_solve(
+        calib.model, params, jnp.asarray(calib.bf),
+        ms.kf_R[cams], ms.kf_t[cams], cam_opt,
+        ms.mp_pos[pt_idx], pt_valid,
+        f_cam.reshape(-1), jnp.clip(f_pt_dense, 0).reshape(-1),
+        ms.kp_xy[cams].reshape(C * N, 2),
+        ms.kp_uright[cams].reshape(-1),
+        f_sigma2.reshape(-1), f_valid.reshape(-1),
+        n_iters=n_iters)
+
+    # write back optimized cameras and points
+    wb = jnp.where(win_mask, win_idx, ms.kf_R.shape[0])
+    kf_R = ms.kf_R.at[wb].set(res.kf_R[:Wk], mode="drop")
+    kf_t = ms.kf_t.at[wb].set(res.kf_t[:Wk], mode="drop")
+    pb = jnp.where(pt_valid, pt_idx, Mc)
+    mp_pos = ms.mp_pos.at[pb].set(res.mp_pos, mode="drop")
+
+    # erase outlier observations (ref Optimizer.cc post-BA erase)
+    outlier = f_valid.reshape(C, N) & ~res.f_inlier.reshape(C, N)
+    obs_new = jnp.where(outlier, -1, ms.obs_mp[cams])
+    obs_all = ms.obs_mp.at[jnp.where(cam_mask, cams, ms.obs_mp.shape[0])].set(
+        obs_new, mode="drop")
+    ms = ms._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos, obs_mp=obs_all)
+    return LocalBAOut(ms=ms,
+                      n_factors=jnp.sum(f_valid).astype(jnp.int32),
+                      n_outliers=jnp.sum(outlier).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Map point culling
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cull_map_points(ms: M.MapState, current_kf_count: jnp.ndarray):
+    """Functional MapPointCulling (ref src/LocalMapping.cc:370): kill points
+    with low found/visible ratio or too few observations soon after
+    creation. Ages are measured in keyframes inserted since creation."""
+    age = current_kf_count - ms.mp_first_kf
+    n_obs = M.mp_obs_count(ms)
+    ratio = ms.mp_found.astype(jnp.float32) / jnp.maximum(
+        ms.mp_visible.astype(jnp.float32), 1.0)
+    kill = ms.mp_valid & (
+        (ratio < 0.25)
+        | ((age >= 2) & (age <= 3) & (n_obs <= 2))
+        | (n_obs == 0))
+    return M.delete_map_points(ms, kill), jnp.sum(kill).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def keyframe_redundancy(ms: M.MapState, kf: jnp.ndarray):
+    """Fraction of a keyframe's tracked points seen by >=3 other keyframes at
+    the same or finer scale (ref LocalMapping::KeyFrameCulling :925)."""
+    obs = ms.obs_mp[kf]
+    has = obs >= 0
+    Mc = ms.mp_pos.shape[0]
+    n_obs = M.mp_obs_count(ms)
+    redundant = has & (n_obs[jnp.clip(obs, 0)] >= 4)
+    total = jnp.sum(has)
+    return jnp.where(total > 0,
+                     jnp.sum(redundant) / jnp.maximum(total, 1), 0.0), total

@@ -1,0 +1,387 @@
+"""System facade: the public API and the deterministic pipeline schedule.
+
+Replaces the reference's System + thread topology
+(/root/reference/src/System.cc:41-190 spawns LocalMapping, LoopClosing,
+MapSparsification threads; Tracking runs on the caller). The TPU build uses
+an explicitly staged host loop instead: every call to `track_stereo` runs
+the jitted frontend + tracking kernels, and keyframe insertion runs the
+local-mapping stage synchronously (a deterministic interleave — SURVEY §7
+"thread semantics -> deterministic schedule"). Math lives on device; the
+host only reads a handful of scalars per frame for control flow.
+
+Public surface mirrors System (include/System.h:110-121):
+  track_stereo(imL, imR, t) -> Tcw (4,4) numpy
+  shutdown(), save_trajectory_kitti/tum(path),
+  map_points_in_map() / compressed_map_points_in_map()
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import map_state as M
+from ..ops import lie
+from ..ops.orb import OrbConfig
+from . import mapping_ops as mo
+from . import tracking_ops as to
+from .frontend import Calib, FrameData, process_stereo
+
+OK, NOT_INITIALIZED, RECENTLY_LOST, LOST = "OK", "NOT_INIT", "RECENTLY_LOST", "LOST"
+
+
+@dataclass
+class SystemConfig:
+    calib: Calib = None
+    orb: OrbConfig = None
+    map: M.MapConfig = None
+    # keyframe policy (ref Tracking::NeedNewKeyFrame constants)
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 10
+    ref_ratio: float = 0.75
+    min_init_depth_points: int = 200
+    # local mapping
+    n_triangulate_neighbors: int = 4
+    n_fixed_cams: int = 4
+    ba_iters: int = 8
+    # sparsification (ref Sparsification.* yaml keys)
+    sparsify: bool = False
+    sparsify_n: int = 75
+    sparsify_lambda: float = 500.0
+    sparsify_grid_lambda: float = 10.0
+    sparsify_window: int = 10
+    sparsify_queue_min: int = 4
+    nonlocal_kf: int = 8
+    # loop closing
+    loop_closing: bool = False
+
+
+@dataclass
+class TrajectoryEntry:
+    frame_id: int
+    timestamp: float
+    ref_kf: int
+    T_cr: np.ndarray       # frame pose relative to reference keyframe
+    lost: bool
+
+
+class System:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.calib = cfg.calib
+        self.orb = cfg.orb
+        self.ms = M.empty_map(cfg.map)
+        self.n_kf = 0
+        self.n_mp = 0
+        self.state = NOT_INITIALIZED
+        self.frame_id = -1
+        self.last_R = jnp.eye(3)
+        self.last_t = jnp.zeros(3)
+        self.vel: Optional[np.ndarray] = None   # 4x4 relative motion
+        self.last_matched = None                # (N,) device
+        self.ref_kf = 0
+        self.last_kf_frame = 0
+        self.n_inliers_ref = 0
+        self.trajectory: list[TrajectoryEntry] = []
+        self.timing: dict[str, list] = {}
+        # sparsification bookkeeping (host): queue of non-local KF slots
+        self.sparsify_queue: list[int] = []
+        self._sparsifier = None
+        self._loop_closer = None
+        if cfg.sparsify:
+            from .sparsification import Sparsifier
+            self._sparsifier = Sparsifier(self)
+        if cfg.loop_closing:
+            from .loop_closing import LoopCloser
+            self._loop_closer = LoopCloser(self)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def track_stereo(self, img_l, img_r, timestamp: float) -> np.ndarray:
+        """Process one rectified stereo pair; returns estimated Tcw (4,4)."""
+        self.frame_id += 1
+        t0 = time.perf_counter()
+        frame = process_stereo(jnp.asarray(img_l, jnp.float32),
+                               jnp.asarray(img_r, jnp.float32),
+                               self.calib, self.orb)
+        self._tic(t0, "frontend")
+
+        t0 = time.perf_counter()
+        if self.state == NOT_INITIALIZED:
+            self._stereo_initialization(frame, timestamp)
+        else:
+            self._track(frame, timestamp)
+        self._tic(t0, "track")
+        return self.current_pose()
+
+    def current_pose(self) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(self.last_R)
+        T[:3, 3] = np.asarray(self.last_t)
+        return T
+
+    def map_points_in_map(self) -> int:
+        return int(jnp.sum(self.ms.mp_valid))
+
+    def compressed_map_points_in_map(self) -> int:
+        return int(jnp.sum(self.ms.mp_valid & self.ms.mp_sparsified))
+
+    def keyframes_in_map(self) -> int:
+        return int(jnp.sum(self.ms.kf_valid))
+
+    def shutdown(self):
+        """Flush pending sparsification work (ref ShutdownMapCompressing,
+        src/System.cc:460: sparsify all remaining keyframes on shutdown)."""
+        if self._sparsifier is not None:
+            self._sparsifier.finish()
+
+    # ------------------------------------------------------------------
+    # trajectory export (ref System::SaveTrajectoryKITTI :890 / TUM :516)
+    # ------------------------------------------------------------------
+
+    def _frame_pose(self, e: TrajectoryEntry) -> np.ndarray:
+        R_ref = np.asarray(self.ms.kf_R[e.ref_kf])
+        t_ref = np.asarray(self.ms.kf_t[e.ref_kf])
+        T_rw = np.eye(4)
+        T_rw[:3, :3] = R_ref
+        T_rw[:3, 3] = t_ref
+        return e.T_cr @ T_rw
+
+    def poses_wc(self):
+        """List of (timestamp, Twc 4x4) for all tracked frames."""
+        out = []
+        for e in self.trajectory:
+            if e.lost:
+                continue
+            T_cw = self._frame_pose(e)
+            out.append((e.timestamp, np.linalg.inv(T_cw)))
+        return out
+
+    def save_trajectory_kitti(self, path: str):
+        with open(path, "w") as f:
+            for _, Twc in self.poses_wc():
+                row = Twc[:3].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+
+    def save_trajectory_tum(self, path: str):
+        from ..ops.lie import rot_to_quat
+        with open(path, "w") as f:
+            for ts, Twc in self.poses_wc():
+                q = np.asarray(rot_to_quat(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                # TUM: tx ty tz qx qy qz qw
+                f.write(f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _tic(self, t0, key):
+        self.timing.setdefault(key, []).append(time.perf_counter() - t0)
+
+    def _stereo_initialization(self, frame: FrameData, timestamp: float):
+        """Ref Tracking::StereoInitialization (src/Tracking.cc:2321): need
+        enough stereo-depth features, create the origin keyframe, unproject
+        every depth point."""
+        n_depth = int(jnp.sum((frame.depth > 0) & frame.feats.valid))
+        if n_depth < self.cfg.min_init_depth_points:
+            return
+        R = jnp.eye(3, dtype=jnp.float32)
+        t = jnp.zeros(3, dtype=jnp.float32)
+        no_match = jnp.full((self.cfg.map.n_feat,), -1, jnp.int32)
+        self.ms, n_new = mo.create_keyframe(
+            self.ms, self.calib, jnp.asarray(self.n_kf), frame, R, t,
+            no_match, jnp.asarray(self.n_mp), jnp.asarray(self.frame_id),
+            jnp.asarray(1e9))
+        kf_slot = self.n_kf
+        self.n_kf += 1
+        self.n_mp += int(n_new)
+        self.ref_kf = kf_slot
+        self.last_kf_frame = self.frame_id
+        self.last_R, self.last_t = R, t
+        self.last_matched = self.ms.obs_mp[kf_slot]
+        self.n_inliers_ref = n_depth
+        self.state = OK
+        self._record(timestamp, lost=False)
+
+    def _track(self, frame: FrameData, timestamp: float):
+        cfg = self.cfg
+        # --- pose prediction (constant velocity, ref TrackWithMotionModel) ---
+        T_last = self.current_pose()
+        T_pred = (self.vel @ T_last) if self.vel is not None else T_last
+        R0 = jnp.asarray(T_pred[:3, :3], jnp.float32)
+        t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
+
+        # --- motion-model tracking against last frame's points ---
+        pt_idx = jnp.clip(self.last_matched, 0)
+        pt_valid = self.last_matched >= 0
+        out = to.track_points(self.ms, self.calib, self.orb, frame, R0, t0,
+                              pt_idx, pt_valid,
+                              jnp.asarray(7.0), jnp.asarray(0.9))
+        if int(out.n_inliers) < 20:
+            # widen search (ref: th doubled on failure, src/Tracking.cc:2870)
+            out = to.track_points(self.ms, self.calib, self.orb, frame,
+                                  R0, t0, pt_idx, pt_valid,
+                                  jnp.asarray(14.0), jnp.asarray(0.9))
+        motion_ok = int(out.n_inliers) >= 10
+
+        if not motion_ok:
+            # reference-keyframe fallback: candidates = ref KF's points,
+            # searched wide from the last pose (BoW search analog)
+            out = to.track_points(
+                self.ms, self.calib, self.orb, frame,
+                jnp.asarray(T_last[:3, :3], jnp.float32),
+                jnp.asarray(T_last[:3, 3], jnp.float32),
+                jnp.clip(self.ms.obs_mp[self.ref_kf], 0),
+                self.ms.obs_mp[self.ref_kf] >= 0,
+                jnp.asarray(15.0), jnp.asarray(0.9))
+            if int(out.n_inliers) < 10:
+                self.state = LOST
+                self.vel = None
+                self._record(timestamp, lost=True)
+                return
+
+        # --- local map tracking (ref TrackLocalMap) ---
+        lk_idx, lk_mask = to.local_keyframes(self.ms, out.matched_mp, k=10)
+        lmask = M.local_map_mask(self.ms, lk_idx, lk_mask)
+        l_idx, l_valid = M.gather_local_points(self.ms, lmask,
+                                               cfg.map.local_mp_cap)
+        out2 = to.track_points(self.ms, self.calib, self.orb, frame,
+                               out.R, out.t, l_idx, l_valid,
+                               jnp.asarray(1.0), jnp.asarray(0.8))
+        n_inliers = int(out2.n_inliers)
+        if n_inliers < 15:
+            self.state = LOST
+            self.vel = None
+            self._record(timestamp, lost=True)
+            return
+        self.state = OK
+        self.ms = to.update_point_stats(self.ms, l_idx, l_valid,
+                                        out2.matched_mp)
+
+        # pose + velocity update
+        T_now = np.eye(4)
+        T_now[:3, :3] = np.asarray(out2.R)
+        T_now[:3, 3] = np.asarray(out2.t)
+        self.vel = T_now @ np.linalg.inv(T_last)
+        self.last_R = out2.R
+        self.last_t = out2.t
+        self.last_matched = out2.matched_mp
+        self.ref_kf = int(lk_idx[0])
+
+        # --- keyframe decision (ref NeedNewKeyFrame, src/Tracking.cc:3040) ---
+        n_close, n_close_untracked = (int(v) for v in to.count_trackable_close(
+            self.calib, frame, out2.matched_mp))
+        need_close = (n_close < 100) and (n_close_untracked > 70)
+        c1a = self.frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
+        c1b = self.frame_id >= self.last_kf_frame + cfg.min_frames_between_kf
+        c2 = (n_inliers < self.n_inliers_ref * cfg.ref_ratio) or need_close
+        if ((c1a or (c1b and c2)) and n_inliers > 15):
+            self._create_keyframe(frame, out2)
+        self._record(timestamp, lost=False)
+
+    def _create_keyframe(self, frame: FrameData, out):
+        if self.n_kf >= self.cfg.map.max_kf:
+            return
+        slot = self.n_kf
+        self.ms, n_new = mo.create_keyframe(
+            self.ms, self.calib, jnp.asarray(slot), frame, out.R, out.t,
+            out.matched_mp, jnp.asarray(self.n_mp),
+            jnp.asarray(self.frame_id), jnp.asarray(self.calib.th_depth))
+        self.n_kf += 1
+        self.n_mp += int(n_new)
+        self.ref_kf = slot
+        self.last_kf_frame = self.frame_id
+        self.last_matched = self.ms.obs_mp[slot]
+        self._local_mapping(slot)
+        self.n_inliers_ref = int(jnp.sum(self.ms.obs_mp[slot] >= 0))
+
+    # ------------------------------------------------------------------
+    # local mapping stage (ref LocalMapping::Run body)
+    # ------------------------------------------------------------------
+
+    def _local_mapping(self, kf_slot: int):
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        # triangulate with best covisible neighbors
+        nb_idx, nb_w, nb_ok = M.best_covisible(
+            self.ms, jnp.asarray(kf_slot), cfg.n_triangulate_neighbors,
+            min_weight=10)
+        nb = np.asarray(nb_idx)[np.asarray(nb_ok)]
+        for b in nb:
+            if self.n_mp >= cfg.map.max_mp:
+                break
+            self.ms, n_new = mo.triangulate_with(
+                self.ms, self.calib, self.orb, jnp.asarray(kf_slot),
+                jnp.asarray(int(b)), jnp.asarray(self.n_mp))
+            self.n_mp += int(n_new)
+
+        # fuse duplicates with neighbors
+        if len(nb):
+            nb_j = jnp.asarray(nb)
+            nmask = jnp.ones((len(nb),), bool)
+            cand_mask = M.local_map_mask(self.ms, nb_j, nmask)
+            c_idx, c_valid = M.gather_local_points(self.ms, cand_mask,
+                                                   cfg.map.local_mp_cap)
+            self.ms = mo.fuse_into(self.ms, self.calib, self.orb,
+                                   jnp.asarray(kf_slot), c_idx, c_valid)
+        self._tic(t0, "triangulate+fuse")
+
+        # local BA window
+        t0 = time.perf_counter()
+        Wk = cfg.map.window_kf
+        win_idx, win_w, _ = M.best_covisible(self.ms, jnp.asarray(kf_slot),
+                                             Wk - 1, min_weight=1)
+        win_idx = jnp.concatenate([jnp.asarray([kf_slot]), win_idx])
+        win_mask = jnp.concatenate(
+            [jnp.asarray([True]), np.asarray(win_w) > 0])
+        # fixed anchors: next-best covisible beyond the window
+        all_cov = np.array(M.covisibility_counts(self.ms, jnp.asarray(kf_slot)))
+        in_win = np.zeros_like(all_cov, dtype=bool)
+        in_win[np.asarray(win_idx)[np.asarray(win_mask)]] = True
+        all_cov[in_win] = 0
+        fix_order = np.argsort(-all_cov)[:cfg.n_fixed_cams]
+        fix_mask = all_cov[fix_order] > 0
+        # oldest window KF fixed if no anchors exist (gauge)
+        if self.n_kf <= Wk or not fix_mask.any():
+            oldest = int(np.asarray(win_idx)[np.asarray(win_mask)].min())
+            keep = np.asarray(win_idx) != oldest
+            win_mask = jnp.asarray(np.asarray(win_mask) & keep)
+            fix_order = np.concatenate([[oldest], fix_order[:-1]])
+            fix_mask = np.concatenate([[True], fix_mask[:-1]])
+        outba = mo.local_ba(
+            self.ms, self.calib, self.orb, win_idx, win_mask,
+            jnp.asarray(fix_order, dtype=jnp.int32), jnp.asarray(fix_mask),
+            n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
+            n_iters=cfg.ba_iters)
+        self.ms = outba.ms
+        self._tic(t0, "local_ba")
+
+        # point culling (age measured against the new KF's id, matching the
+        # reference's mnFirstKFid vs mnId comparison)
+        self.ms, _ = mo.cull_map_points(self.ms, jnp.asarray(kf_slot))
+
+        # sparsification feed: miss-counter update (ref
+        # KeyFrame::UpdateCountInLocalMapping + LocalMapping.cc:252-274)
+        if self._sparsifier is not None:
+            self._sparsifier.observe_window(
+                np.asarray(win_idx)[np.asarray(win_mask)].tolist())
+        if self._loop_closer is not None:
+            self._loop_closer.insert_keyframe(kf_slot)
+
+    def _record(self, timestamp, lost: bool):
+        T_cw = self.current_pose()
+        R_ref = np.asarray(self.ms.kf_R[self.ref_kf])
+        t_ref = np.asarray(self.ms.kf_t[self.ref_kf])
+        T_rw = np.eye(4)
+        T_rw[:3, :3] = R_ref
+        T_rw[:3, 3] = t_ref
+        self.trajectory.append(TrajectoryEntry(
+            frame_id=self.frame_id, timestamp=timestamp, ref_kf=self.ref_kf,
+            T_cr=T_cw @ np.linalg.inv(T_rw), lost=lost))

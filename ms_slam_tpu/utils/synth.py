@@ -1,0 +1,103 @@
+"""Synthetic stereo world renderer for integration tests and benchmarks.
+
+The reference has no test suite (SURVEY §4); we build deterministic
+rendered worlds instead: textured axis-aligned planes ray-cast per pixel,
+so a full stereo sequence with exact ground-truth trajectory is available
+anywhere (CPU tests, TPU benchmarks) without dataset downloads.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def mondrian_texture(rng, size=768, n_rects=400):
+    tex = np.full((size, size), 128.0, np.float32)
+    for _ in range(n_rects):
+        y0, x0 = rng.integers(0, size - 8, 2)
+        h, w = rng.integers(8, size // 6, 2)
+        tex[y0:y0 + h, x0:x0 + w] = rng.uniform(15, 240)
+    return tex
+
+
+class PlaneWorld:
+    """Two textured planes: wall at z=z_wall, floor at y=y_floor (world
+    frame: x right, y down, z forward — camera convention)."""
+
+    def __init__(self, rng, z_wall=14.0, y_floor=2.0, tex_scale=0.02):
+        self.z_wall = z_wall
+        self.y_floor = y_floor
+        self.tex_wall = mondrian_texture(rng)
+        self.tex_floor = mondrian_texture(rng)
+        self.tex_scale = tex_scale  # world units per texel
+
+    def _sample(self, tex, a, b):
+        size = tex.shape[0]
+        ia = (a / self.tex_scale) % size
+        ib = (b / self.tex_scale) % size
+        i0 = np.floor(ia).astype(int) % size
+        j0 = np.floor(ib).astype(int) % size
+        i1 = (i0 + 1) % size
+        j1 = (j0 + 1) % size
+        fa = ia - np.floor(ia)
+        fb = ib - np.floor(ib)
+        return (tex[i0, j0] * (1 - fa) * (1 - fb) + tex[i1, j0] * fa * (1 - fb)
+                + tex[i0, j1] * (1 - fa) * fb + tex[i1, j1] * fa * fb)
+
+    def render(self, K: np.ndarray, T_wc: np.ndarray, h: int, w: int):
+        """Render the view from camera-to-world pose T_wc (4,4)."""
+        Rwc = T_wc[:3, :3]
+        Ow = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                           (vs - K[1, 2]) / K[1, 1],
+                           np.ones_like(us, np.float64)], axis=-1)
+        d = rays_c @ Rwc.T  # (h,w,3) world directions
+
+        img = np.zeros((h, w), np.float32)
+        depth = np.full((h, w), np.inf)
+
+        # wall z = z_wall
+        dz = d[..., 2]
+        dz_s = np.where(np.abs(dz) > 1e-9, dz, 1e-9)
+        t_wall = np.where(np.abs(dz) > 1e-9, (self.z_wall - Ow[2]) / dz_s, -1)
+        ok = t_wall > 0.1
+        Xw = Ow[None, None, :] + t_wall[..., None] * d
+        val = self._sample(self.tex_wall, Xw[..., 0], Xw[..., 1])
+        use = ok & (t_wall < depth)
+        img = np.where(use, val, img)
+        depth = np.where(use, t_wall, depth)
+
+        # floor y = y_floor
+        dy = d[..., 1]
+        dy_s = np.where(np.abs(dy) > 1e-9, dy, 1e-9)
+        t_fl = np.where(np.abs(dy) > 1e-9, (self.y_floor - Ow[1]) / dy_s, -1)
+        ok = t_fl > 0.1
+        Xf = Ow[None, None, :] + t_fl[..., None] * d
+        val = self._sample(self.tex_floor, Xf[..., 0], Xf[..., 2])
+        use = ok & (t_fl < depth)
+        img = np.where(use, val, img)
+        depth = np.where(use, t_fl, depth)
+        return img.astype(np.float32)
+
+    def render_stereo(self, K, T_wc, baseline, h, w):
+        T_right = T_wc.copy()
+        # right camera displaced +x in camera frame
+        T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array([baseline, 0, 0])
+        return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
+
+
+def make_trajectory(n_frames: int, pattern: str = "arc"):
+    """Ground-truth camera-to-world poses."""
+    from scipy.spatial.transform import Rotation
+    poses = []
+    for i in range(n_frames):
+        T = np.eye(4)
+        if pattern == "arc":
+            s = i / max(n_frames - 1, 1)
+            T[:3, 3] = [2.5 * s, 0.3 * np.sin(2 * np.pi * s), 1.5 * s]
+            yaw = 0.25 * np.sin(2 * np.pi * s)
+            T[:3, :3] = Rotation.from_euler("y", yaw).as_matrix()
+        elif pattern == "forward":
+            T[:3, 3] = [0, 0, 0.12 * i]
+        poses.append(T)
+    return poses
