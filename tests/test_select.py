@@ -1,0 +1,138 @@
+"""Selector quality vs the exact ILP (scipy HiGHS stands in for GUROBI)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ms_slam_tpu.ops import select
+
+
+def random_instance(rng, K=4, N=24, P=40, n_cells=8, req=6):
+    """Small window: K KFs x N feature slots over P points, cells 0..n_cells."""
+    obs_pt = np.full((K, N), -1, np.int32)
+    obs_cell = np.zeros((K, N), np.int32)
+    for k in range(K):
+        n_obs = rng.integers(N // 2, N)
+        pts = rng.choice(P, size=n_obs, replace=False)
+        obs_pt[k, :n_obs] = pts
+        obs_cell[k, :n_obs] = rng.integers(0, n_cells, n_obs)
+    obs_valid = obs_pt >= 0
+    # cost = maxObs - obs count
+    counts = np.zeros(P, int)
+    for p, c in zip(*np.unique(obs_pt[obs_pt >= 0], return_counts=True)):
+        counts[p] = c
+    cost = (counts.max() - counts).astype(np.float64)
+    p_valid = counts > 0
+    req_kf = np.full(K, req, np.int32)
+    return obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf
+
+
+def exact_ilp(obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf,
+              lam, lam_grid, n_cells):
+    """Reference solver via scipy.milp (the GUROBI stand-in)."""
+    from scipy.optimize import milp, LinearConstraint, Bounds
+    import scipy.sparse as sp
+    K, N = obs_pt.shape
+    P = cost.shape[0]
+    # variables: x_p (P), th_k (K), th_cell (K*n_cells occupied only)
+    occ = set()
+    for k in range(K):
+        for i in range(N):
+            if obs_valid[k, i] and obs_pt[k, i] >= 0:
+                occ.add((k, obs_cell[k, i]))
+    occ = sorted(occ)
+    occ_id = {c: j for j, c in enumerate(occ)}
+    nv = P + K + len(occ)
+    c_vec = np.concatenate([cost, np.full(K, lam), np.full(len(occ), lam_grid)])
+
+    rows, cols, vals, lo = [], [], [], []
+    r = 0
+    for k in range(K):
+        for i in range(N):
+            if obs_valid[k, i] and obs_pt[k, i] >= 0:
+                rows.append(r); cols.append(obs_pt[k, i]); vals.append(1.0)
+        rows.append(r); cols.append(P + k); vals.append(1.0)
+        lo.append(req_kf[k]); r += 1
+    for (k, cell) in occ:
+        for i in range(N):
+            if obs_valid[k, i] and obs_pt[k, i] >= 0 and obs_cell[k, i] == cell:
+                rows.append(r); cols.append(obs_pt[k, i]); vals.append(1.0)
+        rows.append(r); cols.append(P + K + occ_id[(k, cell)]); vals.append(1.0)
+        lo.append(1); r += 1
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(r, nv))
+    res = milp(c_vec,
+               constraints=LinearConstraint(A, np.asarray(lo, float), np.inf),
+               bounds=Bounds(0, np.concatenate(
+                   [np.ones(P), np.full(K + len(occ), np.inf)])),
+               integrality=np.concatenate(
+                   [np.ones(P), np.zeros(K + len(occ))]))
+    assert res.success
+    return res.x[:P] > 0.5, res.fun
+
+
+class TestSelector:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_near_optimal_vs_ilp(self, seed):
+        rng = np.random.default_rng(seed)
+        inst = random_instance(rng)
+        obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf = inst
+        lam, lam_grid, n_cells = 100.0, 5.0, 8
+
+        res = select.select_points(
+            jnp.asarray(obs_pt), jnp.asarray(obs_cell), jnp.asarray(obs_valid),
+            jnp.asarray(cost, jnp.float32), jnp.asarray(p_valid),
+            jnp.asarray(req_kf), lam=lam, lam_grid=lam_grid, n_cells=n_cells)
+
+        ours = float(select.selection_cost(
+            res.keep, jnp.asarray(cost, jnp.float32), res.kf_cover,
+            jnp.asarray(req_kf), lam, jnp.asarray(obs_pt),
+            jnp.asarray(obs_cell), jnp.asarray(obs_valid), lam_grid, n_cells))
+        _, opt = exact_ilp(obs_pt, obs_cell, obs_valid, cost, p_valid,
+                           req_kf, lam, lam_grid, n_cells)
+        # near-optimality gate (reference tolerance is MIPGap 0.002; our
+        # rounding pays a modest premium, bounded here)
+        assert ours <= 1.3 * max(opt, 1.0) + 1e-6, (ours, opt)
+
+    def test_constraints_satisfied_when_feasible(self, rng):
+        obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf = random_instance(
+            rng, K=3, N=30, P=50, req=5)
+        res = select.select_points(
+            jnp.asarray(obs_pt), jnp.asarray(obs_cell), jnp.asarray(obs_valid),
+            jnp.asarray(cost, jnp.float32), jnp.asarray(p_valid),
+            jnp.asarray(req_kf))
+        cover = np.asarray(res.kf_cover)
+        avail = (obs_pt >= 0).sum(axis=1)
+        want = np.minimum(np.asarray(req_kf), avail)
+        assert (cover >= want).all(), (cover, want)
+        # every occupied cell covered
+        K, N = obs_pt.shape
+        keep = np.asarray(res.keep)
+        for k in range(K):
+            cells = {}
+            for i in range(N):
+                if obs_pt[k, i] >= 0:
+                    cells.setdefault(obs_cell[k, i], []).append(obs_pt[k, i])
+            for cell, pts in cells.items():
+                assert any(keep[p] for p in pts), (k, cell)
+
+    def test_prefers_shared_points(self, rng):
+        """Points observed by many KFs (low cost) should be preferred."""
+        K, N, P = 3, 8, 12
+        obs_pt = np.full((K, N), -1, np.int32)
+        # points 0..3 seen by all KFs; 4..11 seen once each
+        for k in range(K):
+            obs_pt[k, :4] = [0, 1, 2, 3]
+        obs_pt[0, 4:8] = [4, 5, 6, 7]
+        obs_pt[1, 4:8] = [8, 9, 10, 11]
+        obs_cell = np.zeros((K, N), np.int32)
+        obs_valid = obs_pt >= 0
+        counts = np.zeros(P, int)
+        for p, c in zip(*np.unique(obs_pt[obs_pt >= 0], return_counts=True)):
+            counts[p] = c
+        cost = (counts.max() - counts).astype(np.float32)
+        res = select.select_points(
+            jnp.asarray(obs_pt), jnp.asarray(obs_cell), jnp.asarray(obs_valid),
+            jnp.asarray(cost), jnp.asarray(counts > 0),
+            jnp.asarray(np.full(K, 4, np.int32)), lam=100.0, lam_grid=0.5,
+            n_cells=1)
+        keep = np.asarray(res.keep)
+        assert keep[:4].all()  # the shared points
