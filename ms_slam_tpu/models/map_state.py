@@ -132,6 +132,26 @@ def covisibility_counts(ms: MapState, q: jnp.ndarray) -> jnp.ndarray:
     return counts.at[q].set(0)
 
 
+@jax.jit
+def covisibility_matrix(ms: MapState) -> jnp.ndarray:
+    """(K,K) shared-observation counts between all keyframe pairs (the full
+    covisibility graph, ref KeyFrame::GetConnectedKeyFrames). Row-scanned
+    (lax.map) so memory stays O(K*N)."""
+    K, N = ms.obs_mp.shape
+    big = jnp.iinfo(jnp.int32).max
+    obs = jnp.where(ms.kf_valid[:, None], ms.obs_mp, -1)
+    ids = jnp.sort(jnp.where(obs >= 0, obs, big), axis=1)  # (K,N)
+
+    def row(i):
+        ids_i = ids[i]
+        pos = jnp.clip(jnp.searchsorted(ids_i, obs), 0, N - 1)
+        hit = (ids_i[pos] == obs) & (obs >= 0)
+        c = jnp.sum(hit, axis=1).astype(jnp.int32)
+        return c.at[i].set(0)
+
+    return jax.lax.map(row, jnp.arange(K))
+
+
 def best_covisible(ms: MapState, q: jnp.ndarray, k: int,
                    min_weight: int = 15):
     """Top-k covisible keyframes of q: (k,) idx, (k,) weight, (k,) valid."""

@@ -1,0 +1,108 @@
+"""Vectorized binary bag-of-words place recognition.
+
+Replaces DBoW2's TemplatedVocabulary + KeyFrameDatabase inverted index
+(/root/reference/Thirdparty/DBoW2, src/KeyFrameDatabase.cc): instead of a
+~1M-node vocabulary tree walked per descriptor on the CPU, the vocabulary is
+a flat codebook of V binary centroids and word assignment is one MXU matmul
+(+-1 descriptor unpack x codebook^T -> argmax). Keyframe BoW vectors are
+dense tf-idf histograms (V,) and database retrieval is a (K,V)@(V,) matmul
+over the sparsified-keyframe rows only — the MS-SLAM rule that place
+recognition sees only sparsified keyframes (src/KeyFrameDatabase.cc:623-628,
+src/LoopClosing.cc:325).
+
+The codebook is deterministic (seeded): centroids are random 256-bit strings
+refined by a few k-medians steps over whatever descriptors are supplied
+(optional). A flat 1k-4k codebook is far smaller than DBoW2's tree; the
+matmul formulation makes up the discriminative gap with exact all-word
+assignment instead of greedy tree descent.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hamming
+
+
+def make_codebook(n_words: int = 2048, seed: int = 0xB0C4B) -> jnp.ndarray:
+    """(V,8) uint32 random binary centroids."""
+    rs = np.random.RandomState(seed)
+    return jnp.asarray(rs.randint(0, 2 ** 32, size=(n_words, 8),
+                                  dtype=np.uint32))
+
+
+def refine_codebook(codebook: jnp.ndarray, descs: jnp.ndarray,
+                    valid: jnp.ndarray, n_iter: int = 4) -> jnp.ndarray:
+    """k-medians refinement: assign descriptors to words, recompute bitwise
+    majority per word (binary centroid). Optional quality boost when sample
+    descriptors are available at startup."""
+    V = codebook.shape[0]
+    for _ in range(n_iter):
+        d = hamming.hamming_matrix(descs, codebook)      # (N,V)
+        w = jnp.argmin(jnp.where(valid[:, None], d, 1 << 30), axis=1)
+        w = jnp.where(valid, w, V)
+        bits = hamming.unpack_pm1(descs, jnp.float32)    # (N,256) +-1
+        sums = jnp.zeros((V + 1, 256), jnp.float32).at[w].add(bits)[:V]
+        counts = jnp.zeros((V + 1,), jnp.float32).at[w].add(1.0)[:V]
+        maj = sums > 0
+        from ..ops.orb import pack_bits
+        new = pack_bits(maj)
+        codebook = jnp.where((counts > 0)[:, None], new, codebook)
+    return codebook
+
+
+@partial(jax.jit, static_argnames=())
+def bow_vector(codebook: jnp.ndarray, descs: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """Normalized word histogram (V,) for one image/keyframe."""
+    V = codebook.shape[0]
+    d = hamming.hamming_matrix(descs, codebook)
+    w = jnp.argmin(d, axis=1)
+    w = jnp.where(valid, w, V)
+    hist = jnp.zeros((V + 1,), jnp.float32).at[w].add(1.0)[:V]
+    n = jnp.maximum(jnp.sum(hist), 1.0)
+    return hist / n
+
+
+class KeyFrameDatabase:
+    """Host-held database of BoW rows for sparsified keyframes.
+
+    API mirrors the reference KeyFrameDatabase (include/KeyFrameDatabase.h):
+    add / detect candidates; only sparsified keyframes are ever added
+    (LoopClosing::DeleteOutdatedInfo calls add after compaction)."""
+
+    def __init__(self, n_words: int = 2048, max_kf: int = 1024):
+        self.codebook = make_codebook(n_words)
+        self.rows = jnp.zeros((max_kf, n_words), jnp.float32)
+        self.present = np.zeros(max_kf, bool)
+
+    def add(self, kf_slot: int, descs: jnp.ndarray, valid: jnp.ndarray):
+        v = bow_vector(self.codebook, descs, valid)
+        self.rows = self.rows.at[kf_slot].set(v)
+        self.present[kf_slot] = True
+
+    def erase(self, kf_slot: int):
+        self.present[kf_slot] = False
+
+    def query(self, descs: jnp.ndarray, valid: jnp.ndarray,
+              exclude: set[int] | None = None, k: int = 5):
+        """Top-k candidate keyframes by BoW similarity (tf-weighted dot;
+        ref DetectNBestCandidates, src/KeyFrameDatabase.cc:600).
+
+        Returns (slots list, scores list) best-first."""
+        if not self.present.any():
+            return [], []
+        q = bow_vector(self.codebook, descs, valid)
+        scores = np.asarray(self.rows @ q)
+        mask = self.present.copy()
+        if exclude:
+            for e in exclude:
+                if 0 <= e < len(mask):
+                    mask[e] = False
+        scores = np.where(mask, scores, -1.0)
+        order = np.argsort(-scores)[:k]
+        order = [int(i) for i in order if scores[i] > 0]
+        return order, [float(scores[i]) for i in order]

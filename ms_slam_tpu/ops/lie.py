@@ -90,24 +90,30 @@ def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
     # Four candidate extractions; pick the numerically largest pivot.
+    def _ssqrt(v):
+        # grad-safe sqrt(max(v,0)): unselected branches otherwise produce
+        # 0 * inf = NaN cotangents through take_along_axis in reverse mode
+        ok = v > 1e-8
+        return jnp.where(ok, jnp.sqrt(jnp.where(ok, v, 1.0)), 0.0)
+
     def _safe(d):
         # selected pivot always has d >= 1, so the guard only sanitizes the
         # branches that are discarded by the argmax selection below
         return jnp.where(jnp.abs(d) > 1e-6, d, 1.0)
 
-    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0
+    qw0 = _ssqrt(1.0 + tr) / 2.0
     c0 = jnp.stack(
         [qw0, (m21 - m12) / _safe(4.0 * qw0), (m02 - m20) / _safe(4.0 * qw0),
          (m10 - m01) / _safe(4.0 * qw0)], axis=-1)
-    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
+    qx1 = _ssqrt(1.0 + m00 - m11 - m22) / 2.0
     c1 = jnp.stack(
         [(m21 - m12) / _safe(4.0 * qx1), qx1, (m01 + m10) / _safe(4.0 * qx1),
          (m02 + m20) / _safe(4.0 * qx1)], axis=-1)
-    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
+    qy2 = _ssqrt(1.0 - m00 + m11 - m22) / 2.0
     c2 = jnp.stack(
         [(m02 - m20) / _safe(4.0 * qy2), (m01 + m10) / _safe(4.0 * qy2), qy2,
          (m12 + m21) / _safe(4.0 * qy2)], axis=-1)
-    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
+    qz3 = _ssqrt(1.0 - m00 - m11 + m22) / 2.0
     c3 = jnp.stack(
         [(m10 - m01) / _safe(4.0 * qz3), (m02 + m20) / _safe(4.0 * qz3),
          (m12 + m21) / _safe(4.0 * qz3), qz3], axis=-1)
@@ -145,12 +151,15 @@ def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion -> rotation vector (...,3)."""
+    """Unit quaternion -> rotation vector (...,3), grad-safe at identity
+    (plain norm() is non-differentiable at 0)."""
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    vn2 = jnp.sum(v * v, axis=-1)
+    small = vn2 < _EPS * _EPS
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
     theta = 2.0 * jnp.arctan2(vn, w)
-    scale = jnp.where(vn < _EPS, 2.0 / jnp.maximum(w, _EPS), theta / jnp.maximum(vn, _EPS))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / vn)
     return v * scale[..., None]
 
 

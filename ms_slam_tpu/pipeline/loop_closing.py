@@ -1,0 +1,239 @@
+"""Loop closing stage: sparsified-only place recognition, geometric
+verification, SE(3) loop correction and essential-graph optimization.
+
+Host orchestration mirroring LoopClosing::Run
+(/root/reference/src/LoopClosing.cc): sparsified keyframes are the only ones
+entering the BoW database (InsertSparsifiedKeyFrame/DeleteOutdatedInfo
+:306-326); per new keyframe, candidates come from the database
+(KeyFrameDatabase::DetectNBestCandidates :600 — sparsified, non-covisible),
+are verified by descriptor matching + RANSAC alignment (Sim3Solver ->
+ops/sim3.py), and a loop is confirmed after 3 consecutive verified
+keyframes (:399). Correction (CorrectLoop :924) rigidly moves the current
+covisible window + its points, fuses duplicates, then optimizes the
+essential graph (Optimizer::OptimizeEssentialGraph -> ops/pose_graph.py)
+with the matched keyframe fixed, and finally re-anchors every map point by
+its reference keyframe's pose change. Global BA refinement is planned work
+(ref RunGlobalBundleAdjustment :2212).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import map_state as M
+from ..models.vocab import KeyFrameDatabase
+from ..ops import lie, matching, pose_graph, sim3
+from .frontend import Calib
+
+MIN_RANSAC_INLIERS = 20
+CONSECUTIVE_NEEDED = 3
+COVIS_EDGE_MIN = 30     # essential-graph covisibility edge threshold
+
+
+@partial(jax.jit, static_argnames=("calib",))
+def _verify_pair(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
+                 kf_b: jnp.ndarray, key: jnp.ndarray):
+    """Descriptor-match two keyframes and RANSAC-align their shared
+    landmark geometry: returns (n_inliers, R, t) with (R,t) mapping
+    keyframe-b camera coords into keyframe-a camera coords."""
+    params = calib.params_array()
+    va = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] >= 0)
+    vb = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] >= 0)
+    mm = matching.mutual_match(ms.kp_desc[kf_a], va, ms.kp_desc[kf_b], vb,
+                               max_dist=matching.TH_LOW, nn_ratio=0.75)
+    has = mm.idx_b >= 0
+    ib = jnp.clip(mm.idx_b, 0)
+    mp_a = ms.obs_mp[kf_a]
+    mp_b = ms.obs_mp[kf_b][ib]
+    ok = has & (mp_a >= 0) & (mp_b >= 0)
+    Xa = ms.mp_pos[jnp.clip(mp_a, 0)]
+    Xb = ms.mp_pos[jnp.clip(mp_b, 0)]
+    Xc_a = lie.se3_apply(ms.kf_R[kf_a], ms.kf_t[kf_a], Xa)
+    Xc_b = lie.se3_apply(ms.kf_R[kf_b], ms.kf_t[kf_b], Xb)
+    s2a = (1.2 ** ms.kp_octave[kf_a].astype(jnp.float32)) ** 2
+    s2b = (1.2 ** ms.kp_octave[kf_b].astype(jnp.float32)) ** 2
+    res = sim3.sim3_ransac(calib.model, params, Xc_a, Xc_b, s2a, s2b[ib],
+                           ok, key, n_hyp=128, with_scale=False)
+    return res.n_inliers, res.R, res.t
+
+
+@jax.jit
+def _apply_window_correction(ms: M.MapState, win_mask_k: jnp.ndarray,
+                             Rc: jnp.ndarray, tc: jnp.ndarray,
+                             cur: jnp.ndarray):
+    """Rigidly move the keyframes in win_mask_k and their points:
+    T_new_i = T_old_i * T_old_cur^-1 * T_corr_cur (relative poses to the
+    current keyframe preserved); points X' = T_corr^-1 * T_old_cur * X
+    (ref CorrectLoop's CorrectedSim3 propagation)."""
+    R_cur, t_cur = ms.kf_R[cur], ms.kf_t[cur]
+    Ri, ti = lie.se3_inv(R_cur, t_cur)
+    # delta = T_old_cur^-1 * T_corr
+    Rd, td = lie.se3_compose(Ri, ti, Rc, tc)
+    R_new = ms.kf_R @ Rd
+    t_new = jnp.einsum("kij,j->ki", ms.kf_R, td) + ms.kf_t
+    kf_R = jnp.where(win_mask_k[:, None, None], R_new, ms.kf_R)
+    kf_t = jnp.where(win_mask_k[:, None], t_new, ms.kf_t)
+
+    # world-side point correction for points observed by the window
+    pmask = M.local_map_mask(
+        ms, jnp.arange(ms.kf_valid.shape[0]), win_mask_k)
+    Rci, tci = lie.se3_inv(Rc, tc)
+    Rw, tw = lie.se3_compose(Rci, tci, R_cur, t_cur)
+    moved = lie.se3_apply(Rw, tw, ms.mp_pos)
+    mp_pos = jnp.where(pmask[:, None], moved, ms.mp_pos)
+    return ms._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos)
+
+
+@jax.jit
+def _reanchor_points(ms: M.MapState, old_R: jnp.ndarray, old_t: jnp.ndarray):
+    """After pose-graph optimization, move every point by its reference
+    keyframe's pose change: X' = T_new_ref^-1 * T_old_ref * X (ref
+    OptimizeEssentialGraph's point correction via mnCorrectedReference)."""
+    ref = jnp.clip(ms.mp_first_kf, 0, ms.kf_valid.shape[0] - 1)
+    Ro, to = old_R[ref], old_t[ref]
+    Rn, tn = ms.kf_R[ref], ms.kf_t[ref]
+    Rni, tni = lie.se3_inv(Rn, tn)
+    X_cam = lie.se3_apply(Ro, to, ms.mp_pos)
+    X_new = lie.se3_apply(Rni, tni, X_cam)
+    ok = ms.mp_valid & ms.kf_valid[ref]
+    return ms._replace(mp_pos=jnp.where(ok[:, None], X_new, ms.mp_pos))
+
+
+class LoopCloser:
+    """Host-side stage state (the LoopClosing 'thread')."""
+
+    def __init__(self, system, n_words: int = 2048):
+        self.sys = system
+        self.db = KeyFrameDatabase(n_words=n_words,
+                                   max_kf=system.cfg.map.max_kf)
+        self.consecutive = 0
+        self.last_cand_group: set[int] = set()
+        self.key = jax.random.PRNGKey(7)
+        self.stats = {"queries": 0, "verified": 0, "loops": 0}
+        self.loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+
+    # -- database feed (sparsified keyframes only) ----------------------
+    def insert_sparsified_keyframe(self, slot: int):
+        ms = self.sys.ms
+        self.db.add(slot, ms.kp_desc[slot], ms.kp_valid[slot])
+
+    # -- detection per new keyframe -------------------------------------
+    def insert_keyframe(self, slot: int):
+        sys = self.sys
+        if not self.db.present.any():
+            return
+        self.stats["queries"] += 1
+        ms = sys.ms
+        covis = np.array(M.covisibility_counts(ms, jnp.asarray(slot)))
+        exclude = set(np.where(covis > 0)[0].tolist()) | {slot}
+        cands, scores = self.db.query(ms.kp_desc[slot], ms.kp_valid[slot],
+                                      exclude=exclude, k=3)
+        best = None
+        for c in cands:
+            self.key, sub = jax.random.split(self.key)
+            n_inl, R, t = _verify_pair(ms, sys.calib, jnp.asarray(slot),
+                                       jnp.asarray(c), sub)
+            if int(n_inl) >= MIN_RANSAC_INLIERS:
+                best = (c, np.asarray(R), np.asarray(t), int(n_inl))
+                break
+        if best is None:
+            self.consecutive = 0
+            self.last_cand_group = set()
+            return
+        c = best[0]
+        group = set(np.where(
+            np.array(M.covisibility_counts(ms, jnp.asarray(c))) > 0)[0]
+        ) | {c}
+        if self.last_cand_group & group or not self.last_cand_group:
+            self.consecutive += 1
+        else:
+            self.consecutive = 1
+        self.last_cand_group = group
+        self.stats["verified"] += 1
+        if self.consecutive >= CONSECUTIVE_NEEDED:
+            self._correct_loop(slot, *best[:3])
+            self.consecutive = 0
+            self.last_cand_group = set()
+
+    # -- correction ------------------------------------------------------
+    def _correct_loop(self, cur: int, match: int, R_cm, t_cm):
+        """R_cm/t_cm map match-KF camera coords -> current-KF camera coords.
+        Corrected T_cw(cur) = S_cm * T_mw (ref CorrectLoop mScw)."""
+        sys = self.sys
+        ms = sys.ms
+        self.stats["loops"] += 1
+        Rm, tm = np.asarray(ms.kf_R[match]), np.asarray(ms.kf_t[match])
+        Rc = R_cm @ Rm
+        tc = R_cm @ tm + t_cm
+
+        # current covisible window (plus current)
+        covis = np.array(M.covisibility_counts(ms, jnp.asarray(cur)))
+        win = covis > 0
+        win[cur] = True
+        sys.ms = ms = _apply_window_correction(
+            ms, jnp.asarray(win), jnp.asarray(Rc, jnp.float32),
+            jnp.asarray(tc, jnp.float32), jnp.asarray(cur))
+
+        # fuse matched-side landmarks into the current keyframe
+        from . import mapping_ops as mo
+        mgroup = np.array(M.covisibility_counts(ms, jnp.asarray(match)))
+        msel = mgroup > 0
+        msel[match] = True
+        cand_mask = M.local_map_mask(
+            ms, jnp.arange(ms.kf_valid.shape[0]), jnp.asarray(msel))
+        c_idx, c_valid = M.gather_local_points(
+            ms, cand_mask, sys.cfg.map.local_mp_cap)
+        sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
+                                   jnp.asarray(cur), c_idx, c_valid)
+
+        # essential graph: sequential chain + strong covis edges + loop edge
+        old_R = ms.kf_R
+        old_t = ms.kf_t
+        K = ms.kf_valid.shape[0]
+        kf_valid = np.asarray(ms.kf_valid)
+        covm = np.array(M.covisibility_matrix(ms))
+        e_i, e_j, e_w = [], [], []
+        valid_list = [k for k in range(K) if kf_valid[k]]
+        for a, b in zip(valid_list[1:], valid_list[:-1]):
+            e_i.append(a)
+            e_j.append(b)
+            e_w.append(10.0)                      # spanning-tree analog
+        ii, jj = np.where(np.triu(covm, 1) >= COVIS_EDGE_MIN)
+        for a, b in zip(ii, jj):
+            e_i.append(int(a))
+            e_j.append(int(b))
+            e_w.append(1.0)
+        e_i.append(cur)
+        e_j.append(match)
+        e_w.append(20.0)                          # the loop edge
+        E = len(e_i)
+        eR = np.zeros((E, 3, 3), np.float32)
+        et = np.zeros((E, 3), np.float32)
+        R_np = np.asarray(old_R)
+        t_np = np.asarray(old_t)
+        for n, (a, b) in enumerate(zip(e_i, e_j)):
+            Rz, tz = pose_graph.relative_pose(
+                jnp.asarray(R_np[a]), jnp.asarray(t_np[a]),
+                jnp.asarray(R_np[b]), jnp.asarray(t_np[b]))
+            eR[n] = np.asarray(Rz)
+            et[n] = np.asarray(tz)
+        fixed = np.zeros(K, bool)
+        fixed[match] = True
+        fixed[~kf_valid] = True
+        res = pose_graph.optimize_pose_graph(
+            ms.kf_R, ms.kf_t, jnp.asarray(fixed),
+            jnp.asarray(e_i, dtype=jnp.int32),
+            jnp.asarray(e_j, dtype=jnp.int32),
+            jnp.asarray(eR), jnp.asarray(et),
+            jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+            n_iters=10)
+        ms = ms._replace(kf_R=res.R, kf_t=res.t)
+        sys.ms = _reanchor_points(ms, old_R, old_t)
+        self.loop_edges.append((cur, match, R_cm, t_cm))
+        # tracking must re-localize against the corrected map
+        sys.vel = None
+        sys.last_R = sys.ms.kf_R[cur]
+        sys.last_t = sys.ms.kf_t[cur]

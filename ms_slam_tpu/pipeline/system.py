@@ -232,20 +232,19 @@ class System:
         motion_ok = int(out.n_inliers) >= 10
 
         if not motion_ok:
-            # reference-keyframe fallback: candidates = ref KF's points,
-            # searched wide from the last pose (BoW search analog)
-            out = to.track_points(
-                self.ms, self.calib, self.orb, frame,
+            # reference-keyframe fallback: appearance-only matching (the
+            # SearchByBoW analog has no spatial gate)
+            out = to.track_by_appearance(
+                self.ms, self.calib, frame, jnp.asarray(self.ref_kf),
                 jnp.asarray(T_last[:3, :3], jnp.float32),
-                jnp.asarray(T_last[:3, 3], jnp.float32),
-                jnp.clip(self.ms.obs_mp[self.ref_kf], 0),
-                self.ms.obs_mp[self.ref_kf] >= 0,
-                jnp.asarray(15.0), jnp.asarray(0.9))
+                jnp.asarray(T_last[:3, 3], jnp.float32))
             if int(out.n_inliers) < 10:
-                self.state = LOST
-                self.vel = None
-                self._record(timestamp, lost=True)
-                return
+                out = self._relocalize(frame)
+                if out is None:
+                    self.state = LOST
+                    self.vel = None
+                    self._record(timestamp, lost=True)
+                    return
 
         # --- local map tracking (ref TrackLocalMap) ---
         lk_idx, lk_mask = to.local_keyframes(self.ms, out.matched_mp, k=10)
@@ -301,6 +300,26 @@ class System:
         self.last_matched = self.ms.obs_mp[slot]
         self._local_mapping(slot)
         self.n_inliers_ref = int(jnp.sum(self.ms.obs_mp[slot] >= 0))
+
+    def _relocalize(self, frame: FrameData):
+        """Relocalization against the sparsified keyframe database (ref
+        Tracking::Relocalization, src/Tracking.cc:3641: BoW candidates ->
+        match -> PnP -> pose optimization; the database only ever contains
+        sparsified keyframes, src/LoopClosing.cc:325)."""
+        if self._loop_closer is None:
+            return None
+        db = self._loop_closer.db
+        f = frame.feats
+        cands, _ = db.query(f.desc, f.valid, k=3)
+        for c in cands:
+            out = to.track_by_appearance(
+                self.ms, self.calib, frame, jnp.asarray(c),
+                self.ms.kf_R[c], self.ms.kf_t[c])
+            if int(out.n_inliers) >= 20:
+                self.ref_kf = c
+                self.vel = None
+                return out
+        return None
 
     # ------------------------------------------------------------------
     # local mapping stage (ref LocalMapping::Run body)

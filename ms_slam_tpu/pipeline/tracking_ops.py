@@ -63,6 +63,31 @@ def track_points(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                     n_inliers=res.n_inliers)
 
 
+@partial(jax.jit, static_argnames=("calib",))
+def track_by_appearance(ms: M.MapState, calib: Calib, frame: FrameData,
+                        kf: jnp.ndarray, R0: jnp.ndarray,
+                        t0: jnp.ndarray) -> TrackOut:
+    """Appearance-only association against one keyframe's landmarks + pose
+    optimization (ref Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2703
+    — SearchByBoW has no spatial gate, which is what makes it robust to
+    large motion; also the per-candidate step of Relocalization :3641)."""
+    params = calib.params_array()
+    f = frame.feats
+    kf_has = ms.kp_valid[kf] & (ms.obs_mp[kf] >= 0)
+    mm = matching.mutual_match(f.desc, f.valid, ms.kp_desc[kf], kf_has,
+                               max_dist=matching.TH_LOW, nn_ratio=0.7)
+    has = mm.idx_b >= 0
+    mp = jnp.where(has, ms.obs_mp[kf][jnp.clip(mm.idx_b, 0)], -1)
+    has &= mp >= 0
+    X = ms.mp_pos[jnp.clip(mp, 0)]
+    res = pose_opt.pose_optimize(
+        calib.model, params, jnp.asarray(calib.bf), R0, t0,
+        X, f.xy, frame.u_right, frame.sigma2, has)
+    matched = jnp.where(res.inlier, mp, -1).astype(jnp.int32)
+    return TrackOut(R=res.R, t=res.t, matched_mp=matched,
+                    n_matched=mm.n_matches, n_inliers=res.n_inliers)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def local_keyframes(ms: M.MapState, matched_mp: jnp.ndarray, k: int):
     """Local keyframe set for local-map tracking: keyframes sharing the most

@@ -86,6 +86,55 @@ class PlaneWorld:
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
 
 
+class BoxWorld:
+    """Closed textured room: 4 walls + floor + ceiling, for loop-closure
+    sequences (every viewing direction sees texture)."""
+
+    def __init__(self, rng, half=6.0, y_floor=2.0, y_ceil=-3.0,
+                 tex_scale=0.02):
+        self.half = half
+        self.y_floor = y_floor
+        self.y_ceil = y_ceil
+        self.tex = [mondrian_texture(rng) for _ in range(6)]
+        self.tex_scale = tex_scale
+
+    def _sample(self, tex, a, b):
+        return PlaneWorld._sample(self, tex, a, b)
+
+    def render(self, K, T_wc, h, w):
+        Rwc = T_wc[:3, :3]
+        Ow = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                           (vs - K[1, 2]) / K[1, 1],
+                           np.ones_like(us, np.float64)], axis=-1)
+        d = rays_c @ Rwc.T
+        img = np.zeros((h, w), np.float32)
+        depth = np.full((h, w), np.inf)
+        # planes: (axis, value, texture, (tex axes))
+        planes = [(0, self.half, self.tex[0], (1, 2)),
+                  (0, -self.half, self.tex[1], (1, 2)),
+                  (2, self.half, self.tex[2], (0, 1)),
+                  (2, -self.half, self.tex[3], (0, 1)),
+                  (1, self.y_floor, self.tex[4], (0, 2)),
+                  (1, self.y_ceil, self.tex[5], (0, 2))]
+        for ax, val, tex, (a_ax, b_ax) in planes:
+            da = d[..., ax]
+            da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
+            t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
+            ok = (t > 0.1) & (t < depth)
+            X = Ow[None, None, :] + t[..., None] * d
+            val_img = self._sample(tex, X[..., a_ax], X[..., b_ax])
+            img = np.where(ok, val_img, img)
+            depth = np.where(ok, t, depth)
+        return img.astype(np.float32)
+
+    def render_stereo(self, K, T_wc, baseline, h, w):
+        T_right = T_wc.copy()
+        T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array([baseline, 0, 0])
+        return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
+
+
 def make_trajectory(n_frames: int, pattern: str = "arc"):
     """Ground-truth camera-to-world poses."""
     from scipy.spatial.transform import Rotation
@@ -99,5 +148,11 @@ def make_trajectory(n_frames: int, pattern: str = "arc"):
             T[:3, :3] = Rotation.from_euler("y", yaw).as_matrix()
         elif pattern == "forward":
             T[:3, 3] = [0, 0, 0.12 * i]
+        elif pattern == "orbit":
+            # full in-place yaw loop with a small circular translation:
+            # ends where it started => loop-closure opportunity
+            a = 2 * np.pi * i / n_frames
+            T[:3, :3] = Rotation.from_euler("y", a).as_matrix()
+            T[:3, 3] = [0.8 * np.sin(a), 0.0, 0.8 * (1 - np.cos(a))]
         poses.append(T)
     return poses

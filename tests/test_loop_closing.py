@@ -1,0 +1,118 @@
+"""Place recognition, Sim3 RANSAC, and loop-closing integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ms_slam_tpu.models import vocab
+from ms_slam_tpu.ops import cameras, lie, sim3
+
+
+class TestVocab:
+    def test_self_retrieval(self, rng):
+        db = vocab.KeyFrameDatabase(n_words=256, max_kf=16)
+        descs = []
+        for k in range(4):
+            d = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8),
+                                         dtype=np.uint32))
+            descs.append(d)
+            db.add(k, d, jnp.ones(64, bool))
+        # query with a noisy copy of KF 2's descriptors (flip a few bits)
+        noisy = np.asarray(descs[2]).copy()
+        noisy[:, 0] ^= 0x3  # flip 2 bits in each first word
+        cands, scores = db.query(jnp.asarray(noisy), jnp.ones(64, bool), k=2)
+        assert cands[0] == 2
+
+    def test_exclusion(self, rng):
+        db = vocab.KeyFrameDatabase(n_words=256, max_kf=8)
+        d = jnp.asarray(rng.integers(0, 2 ** 32, (32, 8), dtype=np.uint32))
+        db.add(0, d, jnp.ones(32, bool))
+        cands, _ = db.query(d, jnp.ones(32, bool), exclude={0})
+        assert cands == []
+
+
+class TestSim3Ransac:
+    def test_recovers_rigid_transform(self, rng):
+        PIN = cameras.pad_params([300.0, 300.0, 160.0, 120.0])
+        N = 96
+        Xc2 = rng.uniform(-2, 2, (N, 3))
+        Xc2[:, 2] += 6.0
+        xi = np.array([0.3, -0.2, 0.1, 0.05, 0.1, -0.08])
+        R, t = lie.se3_exp(jnp.asarray(xi))
+        Xc1 = np.array(lie.se3_apply(R, t, jnp.asarray(Xc2)))
+        # outliers
+        n_out = 25
+        Xc1[:n_out] = rng.uniform(-2, 2, (n_out, 3)) + [0, 0, 6]
+        res = sim3.sim3_ransac(
+            cameras.PINHOLE, PIN, jnp.asarray(Xc1), jnp.asarray(Xc2),
+            jnp.ones(N), jnp.ones(N), jnp.ones(N, bool),
+            jax.random.PRNGKey(0), n_hyp=128)
+        assert int(res.n_inliers) >= N - n_out - 5
+        np.testing.assert_allclose(res.R, R, atol=1e-3)
+        np.testing.assert_allclose(res.t, t, atol=1e-2)
+
+    def test_horn_with_scale(self, rng):
+        X = rng.normal(size=(32, 3))
+        R_true = np.asarray(lie.so3_exp(jnp.asarray([0.2, 0.3, -0.1])))
+        Y = 1.7 * (R_true @ X.T).T + np.array([1.0, -2.0, 0.5])
+        s, R, t = sim3.horn(jnp.asarray(X), jnp.asarray(Y),
+                            jnp.ones(32), with_scale=True)
+        np.testing.assert_allclose(float(s), 1.7, atol=1e-9)
+        np.testing.assert_allclose(R, R_true, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_loop_closure_in_box_world(rng):
+    """Full-system loop: orbit inside a textured room; the revisit at the
+    end must be detected and corrected."""
+    from ms_slam_tpu.models.map_state import MapConfig
+    from ms_slam_tpu.ops.orb import OrbConfig
+    from ms_slam_tpu.pipeline.frontend import Calib
+    from ms_slam_tpu.pipeline.system import System, SystemConfig
+    from ms_slam_tpu.utils import synth
+    from ms_slam_tpu.utils.evaluate import ate_rmse
+
+    H, W, FX, BL = 240, 320, 260.0, 0.15
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 45, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib,
+        orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=96, max_mp=12288, n_feat=512,
+                      local_mp_cap=2048, window_kf=6,
+                      grid_w=16, grid_h=12),
+        min_init_depth_points=100,
+        max_frames_between_kf=3,
+        sparsify=True, sparsify_n=40, sparsify_window=4,
+        sparsify_queue_min=2, nonlocal_kf=3,
+        loop_closing=True,
+    )
+    slam = System(cfg)
+    world = synth.BoxWorld(rng, half=7.0)
+    n_frames = 80
+    poses = synth.make_trajectory(n_frames, "orbit")
+    est = []
+    for i, T_wc in enumerate(poses):
+        im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        T_cw = slam.track_stereo(im_l, im_r, timestamp=0.1 * i)
+        est.append(np.linalg.inv(T_cw))
+
+    lc = slam._loop_closer
+    assert lc.stats["queries"] > 0
+    assert lc.stats["loops"] >= 1, lc.stats
+    assert slam.state == "OK"
+
+    # ATE on the FINAL trajectory (frames re-anchored to their corrected
+    # reference keyframes, like the reference's post-shutdown save)
+    slam.shutdown()
+    final = slam.poses_wc()
+    est_xyz = np.stack([T[:3, 3] for _, T in final])
+    gt_xyz = np.stack([T[:3, 3] for T in poses])[:len(est_xyz)]
+    path_len = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
+    rmse_final = ate_rmse(est_xyz, gt_xyz)
+    # live (uncorrected) trajectory for comparison
+    live_xyz = np.stack([T[:3, 3] for T in est])
+    rmse_live = ate_rmse(live_xyz, np.stack([T[:3, 3] for T in poses]))
+    assert rmse_final < 0.05 * path_len, (rmse_final, path_len)
+    assert rmse_final < rmse_live, (rmse_final, rmse_live)

@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+
+from ms_slam_tpu.ops import lie, pose_graph
+
+
+def circle_poses(n, radius=5.0):
+    """Ground truth: camera going around a circle (Tcw convention)."""
+    Rs, ts = [], []
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        # camera-to-world
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, a, 0.0])))
+        twc = np.array([radius * np.sin(a), 0.0, radius * (1 - np.cos(a))])
+        Rcw = Rwc.T
+        tcw = -Rcw @ twc
+        Rs.append(Rcw)
+        ts.append(tcw)
+    return np.stack(Rs), np.stack(ts)
+
+
+def test_loop_closure_removes_drift(rng):
+    n = 24
+    Rs, ts = circle_poses(n)
+    # odometry chain with accumulating noise => drifted estimates
+    R_est = [Rs[0]]
+    t_est = [ts[0]]
+    e_i, e_j, e_R, e_t = [], [], [], []
+    for k in range(1, n):
+        Rz, tz = pose_graph.relative_pose(
+            jnp.asarray(Rs[k]), jnp.asarray(ts[k]),
+            jnp.asarray(Rs[k - 1]), jnp.asarray(ts[k - 1]))
+        # noisy odometry measurement
+        noise = rng.normal(0, 0.01, 6)
+        dR, dt_ = lie.se3_exp(jnp.asarray(noise))
+        Rzn, tzn = lie.se3_compose(dR, dt_, Rz, tz)
+        # integrate drifted estimate: T_k = Z_k,k-1 * T_k-1
+        Rk, tk = lie.se3_compose(Rzn, tzn,
+                                 jnp.asarray(R_est[-1]), jnp.asarray(t_est[-1]))
+        R_est.append(np.asarray(Rk))
+        t_est.append(np.asarray(tk))
+        e_i.append(k)
+        e_j.append(k - 1)
+        e_R.append(np.asarray(Rzn))
+        e_t.append(np.asarray(tzn))
+
+    # drift before closing
+    drift = np.linalg.norm(t_est[-1] - ts[-1])
+    assert drift > 0.05, drift
+
+    # loop edge with the TRUE relative pose (the Sim3/SE3 solver's output)
+    Rz, tz = pose_graph.relative_pose(
+        jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]),
+        jnp.asarray(Rs[0]), jnp.asarray(ts[0]))
+    e_i.append(n - 1)
+    e_j.append(0)
+    e_R.append(np.asarray(Rz))
+    e_t.append(np.asarray(tz))
+
+    E = len(e_i)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    res = pose_graph.optimize_pose_graph(
+        jnp.asarray(np.stack(R_est)), jnp.asarray(np.stack(t_est)),
+        jnp.asarray(fixed),
+        jnp.asarray(e_i, dtype=jnp.int32), jnp.asarray(e_j, dtype=jnp.int32),
+        jnp.asarray(np.stack(e_R)), jnp.asarray(np.stack(e_t)),
+        jnp.ones(E), jnp.ones(E, bool), n_iters=15)
+
+    err_before = np.linalg.norm(np.stack(t_est) - ts, axis=1)
+    err_after = np.linalg.norm(np.asarray(res.t) - ts, axis=1)
+    # end-of-loop error shrinks dramatically; mean error improves
+    assert np.linalg.norm(np.asarray(res.t[-1]) - ts[-1]) < 0.35 * drift
+    assert err_after.mean() < 0.7 * err_before.mean(), (
+        err_after.mean(), err_before.mean())
+
+
+def test_perfect_graph_stays_put(rng):
+    n = 8
+    Rs, ts = circle_poses(n)
+    e_i = list(range(1, n))
+    e_j = list(range(0, n - 1))
+    e_R, e_t = [], []
+    for k in range(1, n):
+        Rz, tz = pose_graph.relative_pose(
+            jnp.asarray(Rs[k]), jnp.asarray(ts[k]),
+            jnp.asarray(Rs[k - 1]), jnp.asarray(ts[k - 1]))
+        e_R.append(np.asarray(Rz))
+        e_t.append(np.asarray(tz))
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    res = pose_graph.optimize_pose_graph(
+        jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(fixed),
+        jnp.asarray(e_i, dtype=jnp.int32), jnp.asarray(e_j, dtype=jnp.int32),
+        jnp.asarray(np.stack(e_R)), jnp.asarray(np.stack(e_t)),
+        jnp.ones(n - 1), jnp.ones(n - 1, bool), n_iters=5)
+    np.testing.assert_allclose(res.t, ts, atol=1e-6)
