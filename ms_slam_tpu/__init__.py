@@ -18,3 +18,11 @@ Layer map (mirrors SURVEY.md of the reference):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU f32 matmuls default to a single bf16 MXU pass; geometry and normal-
+# equation math (3x3 rotation chains, Schur assembly) needs true f32, and a
+# single pass visibly diverges bundle adjustment. Descriptor matmuls are
+# unaffected (their inputs are already bf16).
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -67,6 +67,37 @@ def bow_vector(codebook: jnp.ndarray, descs: jnp.ndarray,
     return hist / n
 
 
+@partial(jax.jit, static_argnames=())
+def place_scores(kf_desc: jnp.ndarray, kf_kp_valid: jnp.ndarray,
+                 kf_mask: jnp.ndarray, q_desc: jnp.ndarray,
+                 q_valid: jnp.ndarray) -> jnp.ndarray:
+    """Brute-force place-recognition scores: for every keyframe, the
+    fraction of query descriptors whose nearest descriptor in that keyframe
+    is a confident match (Hamming < 50).
+
+    This replaces BoW *scoring* entirely: DBoW2's inverted index exists
+    because CPUs cannot afford exact search, but one (N,256)@(256,N) bf16
+    matmul per keyframe is microseconds on the MXU — and MS-SLAM's
+    sparsification compacts keyframes to few live descriptors, making the
+    whole-database sweep cheap. Scanned per keyframe so memory stays O(N^2).
+    """
+    K = kf_desc.shape[0]
+
+    def score_one(k):
+        d = hamming.hamming_matrix(q_desc, kf_desc[k])      # (Nq, Nk)
+        ok = q_valid[:, None] & kf_kp_valid[k][None, :]
+        d = jnp.where(ok, d, 1 << 30)
+        # keyframe -> query direction: sparsified keyframes keep few but
+        # distinctive descriptors, so "how many of the keyframe's survivors
+        # reappear in the query" is the discriminative direction
+        best_kf = jnp.min(d, axis=0)                        # (Nk,)
+        n_k = jnp.maximum(jnp.sum(kf_kp_valid[k]), 1)
+        sc = jnp.sum((best_kf < 40) & kf_kp_valid[k]) / n_k
+        return jnp.where(kf_mask[k], sc, -1.0)
+
+    return jax.lax.map(score_one, jnp.arange(K))
+
+
 class KeyFrameDatabase:
     """Host-held database of BoW rows for sparsified keyframes.
 
@@ -78,8 +109,15 @@ class KeyFrameDatabase:
         self.codebook = make_codebook(n_words)
         self.rows = jnp.zeros((max_kf, n_words), jnp.float32)
         self.present = np.zeros(max_kf, bool)
+        self._trained = False
 
     def add(self, kf_slot: int, descs: jnp.ndarray, valid: jnp.ndarray):
+        if not self._trained:
+            # one-shot k-medians refinement on the first keyframe's real
+            # descriptors (DBoW2's offline vocabulary training analog, kept
+            # deterministic and cheap)
+            self.codebook = refine_codebook(self.codebook, descs, valid)
+            self._trained = True
         v = bow_vector(self.codebook, descs, valid)
         self.rows = self.rows.at[kf_slot].set(v)
         self.present[kf_slot] = True
@@ -87,21 +125,52 @@ class KeyFrameDatabase:
     def erase(self, kf_slot: int):
         self.present[kf_slot] = False
 
-    def query(self, descs: jnp.ndarray, valid: jnp.ndarray,
-              exclude: set[int] | None = None, k: int = 5):
-        """Top-k candidate keyframes by BoW similarity (tf-weighted dot;
-        ref DetectNBestCandidates, src/KeyFrameDatabase.cc:600).
-
-        Returns (slots list, scores list) best-first."""
+    def query_brute(self, kf_desc: jnp.ndarray, kf_kp_valid: jnp.ndarray,
+                    q_desc: jnp.ndarray, q_valid: jnp.ndarray,
+                    exclude: set[int] | None = None, k: int = 5,
+                    min_score: float = 0.05):
+        """Exact descriptor-set scoring over the present (sparsified)
+        keyframes — the default retrieval path (see place_scores)."""
         if not self.present.any():
             return [], []
-        q = bow_vector(self.codebook, descs, valid)
-        scores = np.asarray(self.rows @ q)
         mask = self.present.copy()
         if exclude:
             for e in exclude:
                 if 0 <= e < len(mask):
                     mask[e] = False
+        if not mask.any():
+            return [], []
+        scores = np.asarray(place_scores(
+            kf_desc, kf_kp_valid, jnp.asarray(mask), q_desc, q_valid))
+        order = np.argsort(-scores)[:k]
+        order = [int(i) for i in order if scores[i] > min_score]
+        return order, [float(scores[i]) for i in order]
+
+    def query(self, descs: jnp.ndarray, valid: jnp.ndarray,
+              exclude: set[int] | None = None, k: int = 5):
+        """Top-k candidate keyframes by idf-weighted cosine similarity (the
+        tf-idf L2 scoring of DBoW2; ref DetectNBestCandidates,
+        src/KeyFrameDatabase.cc:600). Returns (slots, scores) best-first."""
+        if not self.present.any():
+            return [], []
+        q = np.asarray(bow_vector(self.codebook, descs, valid))
+        rows = np.asarray(self.rows)
+        mask = self.present.copy()
+        if exclude:
+            for e in exclude:
+                if 0 <= e < len(mask):
+                    mask[e] = False
+        if not mask.any():
+            return [], []
+        present_rows = rows[self.present]
+        df = (present_rows > 0).sum(axis=0)
+        idf = np.log((1.0 + self.present.sum()) / (1.0 + df))
+        qw = q * idf
+        rw = rows * idf[None, :]
+        qn = qw / max(np.linalg.norm(qw), 1e-9)
+        rn = rw / np.maximum(
+            np.linalg.norm(rw, axis=1, keepdims=True), 1e-9)
+        scores = rn @ qn
         scores = np.where(mask, scores, -1.0)
         order = np.argsort(-scores)[:k]
         order = [int(i) for i in order if scores[i] > 0]

@@ -58,6 +58,10 @@ def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
                    calib: Calib, orb_cfg: orb.OrbConfig) -> FrameData:
     """Extract ORB on both images and stereo-match (the per-frame hot path
     ahead of tracking)."""
+    # images arrive uint8 (4x less host->device transfer) and are cast on
+    # device
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     pyr_l = orb.build_pyramid(img_l, orb_cfg)
     pyr_r = orb.build_pyramid(img_r, orb_cfg)
     feats_l = orb.extract_from_pyramid(pyr_l, orb_cfg)

@@ -129,8 +129,9 @@ class LoopCloser:
         ms = sys.ms
         covis = np.array(M.covisibility_counts(ms, jnp.asarray(slot)))
         exclude = set(np.where(covis > 0)[0].tolist()) | {slot}
-        cands, scores = self.db.query(ms.kp_desc[slot], ms.kp_valid[slot],
-                                      exclude=exclude, k=3)
+        cands, scores = self.db.query_brute(
+            ms.kp_desc, ms.kp_valid,
+            ms.kp_desc[slot], ms.kp_valid[slot], exclude=exclude, k=3)
         best = None
         for c in cands:
             self.key, sub = jax.random.split(self.key)

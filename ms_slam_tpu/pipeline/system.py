@@ -106,8 +106,9 @@ class System:
         """Process one rectified stereo pair; returns estimated Tcw (4,4)."""
         self.frame_id += 1
         t0 = time.perf_counter()
-        frame = process_stereo(jnp.asarray(img_l, jnp.float32),
-                               jnp.asarray(img_r, jnp.float32),
+        img_l = np.clip(np.asarray(img_l), 0, 255).astype(np.uint8)
+        img_r = np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)
+        frame = process_stereo(jnp.asarray(img_l), jnp.asarray(img_r),
                                self.calib, self.orb)
         self._tic(t0, "frontend")
 
@@ -218,71 +219,53 @@ class System:
         R0 = jnp.asarray(T_pred[:3, :3], jnp.float32)
         t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
 
-        # --- motion-model tracking against last frame's points ---
-        pt_idx = jnp.clip(self.last_matched, 0)
-        pt_valid = self.last_matched >= 0
-        out = to.track_points(self.ms, self.calib, self.orb, frame, R0, t0,
-                              pt_idx, pt_valid,
-                              jnp.asarray(7.0), jnp.asarray(0.9))
-        if int(out.n_inliers) < 20:
-            # widen search (ref: th doubled on failure, src/Tracking.cc:2870)
-            out = to.track_points(self.ms, self.calib, self.orb, frame,
-                                  R0, t0, pt_idx, pt_valid,
-                                  jnp.asarray(14.0), jnp.asarray(0.9))
-        motion_ok = int(out.n_inliers) >= 10
+        last_matched = self.last_matched
+        if last_matched is None:
+            last_matched = jnp.full((cfg.map.n_feat,), -1, jnp.int32)
 
-        if not motion_ok:
-            # reference-keyframe fallback: appearance-only matching (the
-            # SearchByBoW analog has no spatial gate)
-            out = to.track_by_appearance(
-                self.ms, self.calib, frame, jnp.asarray(self.ref_kf),
-                jnp.asarray(T_last[:3, :3], jnp.float32),
-                jnp.asarray(T_last[:3, 3], jnp.float32))
-            if int(out.n_inliers) < 10:
-                out = self._relocalize(frame)
-                if out is None:
-                    self.state = LOST
-                    self.vel = None
-                    self._record(timestamp, lost=True)
-                    return
+        # one fused device call for the whole tracking step; one readback
+        out = to.track_full(
+            self.ms, self.calib, self.orb, frame, R0, t0,
+            jnp.asarray(T_last[:3, :3], jnp.float32),
+            jnp.asarray(T_last[:3, 3], jnp.float32),
+            last_matched, jnp.asarray(self.ref_kf),
+            cfg.map.local_mp_cap)
+        stats = np.asarray(out.stats)
+        (n_pre, _used_wide, _used_fb, n_inliers,
+         n_close, n_close_untracked, best_kf, _n_cand) = (int(v)
+                                                          for v in stats)
+        self.ms = out.ms
 
-        # --- local map tracking (ref TrackLocalMap) ---
-        lk_idx, lk_mask = to.local_keyframes(self.ms, out.matched_mp, k=10)
-        lmask = M.local_map_mask(self.ms, lk_idx, lk_mask)
-        l_idx, l_valid = M.gather_local_points(self.ms, lmask,
-                                               cfg.map.local_mp_cap)
-        out2 = to.track_points(self.ms, self.calib, self.orb, frame,
-                               out.R, out.t, l_idx, l_valid,
-                               jnp.asarray(1.0), jnp.asarray(0.8))
-        n_inliers = int(out2.n_inliers)
-        if n_inliers < 15:
-            self.state = LOST
-            self.vel = None
-            self._record(timestamp, lost=True)
-            return
+        if n_pre < 10 or n_inliers < 15:
+            # pre-stage or local-map tracking failed -> relocalize or LOST
+            rl = self._relocalize(frame)
+            if rl is None:
+                self.state = LOST
+                self.vel = None
+                self._record(timestamp, lost=True)
+                return
+            out = rl
+            n_inliers = int(rl.n_inliers)
+            best_kf = self.ref_kf
+
         self.state = OK
-        self.ms = to.update_point_stats(self.ms, l_idx, l_valid,
-                                        out2.matched_mp)
-
         # pose + velocity update
         T_now = np.eye(4)
-        T_now[:3, :3] = np.asarray(out2.R)
-        T_now[:3, 3] = np.asarray(out2.t)
+        T_now[:3, :3] = np.asarray(out.R)
+        T_now[:3, 3] = np.asarray(out.t)
         self.vel = T_now @ np.linalg.inv(T_last)
-        self.last_R = out2.R
-        self.last_t = out2.t
-        self.last_matched = out2.matched_mp
-        self.ref_kf = int(lk_idx[0])
+        self.last_R = out.R
+        self.last_t = out.t
+        self.last_matched = out.matched_mp
+        self.ref_kf = int(best_kf)
 
         # --- keyframe decision (ref NeedNewKeyFrame, src/Tracking.cc:3040) ---
-        n_close, n_close_untracked = (int(v) for v in to.count_trackable_close(
-            self.calib, frame, out2.matched_mp))
         need_close = (n_close < 100) and (n_close_untracked > 70)
         c1a = self.frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
         c1b = self.frame_id >= self.last_kf_frame + cfg.min_frames_between_kf
         c2 = (n_inliers < self.n_inliers_ref * cfg.ref_ratio) or need_close
         if ((c1a or (c1b and c2)) and n_inliers > 15):
-            self._create_keyframe(frame, out2)
+            self._create_keyframe(frame, out)
         self._record(timestamp, lost=False)
 
     def _create_keyframe(self, frame: FrameData, out):
@@ -310,7 +293,8 @@ class System:
             return None
         db = self._loop_closer.db
         f = frame.feats
-        cands, _ = db.query(f.desc, f.valid, k=3)
+        cands, _ = db.query_brute(self.ms.kp_desc, self.ms.kp_valid,
+                                  f.desc, f.valid, k=5)
         for c in cands:
             out = to.track_by_appearance(
                 self.ms, self.calib, frame, jnp.asarray(c),

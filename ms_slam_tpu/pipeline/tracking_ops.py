@@ -88,6 +88,61 @@ def track_by_appearance(ms: M.MapState, calib: Calib, frame: FrameData,
                     n_matched=mm.n_matches, n_inliers=res.n_inliers)
 
 
+class TrackFullOut(NamedTuple):
+    ms: M.MapState
+    R: jnp.ndarray
+    t: jnp.ndarray
+    matched_mp: jnp.ndarray
+    stats: jnp.ndarray
+    """(8,) int32: [motion_inliers, used_wide, used_fallback, local_inliers,
+    n_close_tracked, n_close_untracked, best_local_kf, n_local_candidates]"""
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "local_cap"),
+         donate_argnames=("ms",))
+def track_full(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+               frame: FrameData, R0: jnp.ndarray, t0: jnp.ndarray,
+               R_last: jnp.ndarray, t_last: jnp.ndarray,
+               last_matched: jnp.ndarray, ref_kf: jnp.ndarray,
+               local_cap: int) -> TrackFullOut:
+    """The entire per-frame tracking compute as one fused device call:
+    motion-model association (+ widened retry + appearance fallback, both as
+    lax.cond so the hot path costs nothing extra), local-map tracking,
+    point-statistics update, and keyframe-decision counters. One dispatch,
+    one (8,) readback per frame — the deterministic-schedule replacement
+    for Tracking::Track's in-thread sequence (src/Tracking.cc:1783)."""
+    pt_idx = jnp.clip(last_matched, 0)
+    pt_valid = last_matched >= 0
+
+    out1 = track_points(ms, calib, orb_cfg, frame, R0, t0, pt_idx, pt_valid,
+                        jnp.asarray(7.0), jnp.asarray(0.9))
+    need_wide = out1.n_inliers < 20
+    out2 = jax.lax.cond(
+        need_wide,
+        lambda: track_points(ms, calib, orb_cfg, frame, R0, t0, pt_idx,
+                             pt_valid, jnp.asarray(14.0), jnp.asarray(0.9)),
+        lambda: out1)
+    need_fb = out2.n_inliers < 10
+    out3 = jax.lax.cond(
+        need_fb,
+        lambda: track_by_appearance(ms, calib, frame, ref_kf, R_last, t_last),
+        lambda: out2)
+
+    lk_idx, lk_mask = local_keyframes(ms, out3.matched_mp, k=10)
+    lmask = M.local_map_mask(ms, lk_idx, lk_mask)
+    l_idx, l_valid = M.gather_local_points(ms, lmask, local_cap)
+    out4 = track_points(ms, calib, orb_cfg, frame, out3.R, out3.t,
+                        l_idx, l_valid, jnp.asarray(1.0), jnp.asarray(0.8))
+    ms = update_point_stats(ms, l_idx, l_valid, out4.matched_mp)
+    n_ct, n_cu = count_trackable_close(calib, frame, out4.matched_mp)
+    stats = jnp.stack([
+        out3.n_inliers, need_wide.astype(jnp.int32), need_fb.astype(jnp.int32),
+        out4.n_inliers, n_ct, n_cu, lk_idx[0],
+        jnp.sum(l_valid).astype(jnp.int32)]).astype(jnp.int32)
+    return TrackFullOut(ms=ms, R=out4.R, t=out4.t,
+                        matched_mp=out4.matched_mp, stats=stats)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def local_keyframes(ms: M.MapState, matched_mp: jnp.ndarray, k: int):
     """Local keyframe set for local-map tracking: keyframes sharing the most

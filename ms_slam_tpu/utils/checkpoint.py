@@ -1,0 +1,65 @@
+"""Map checkpoint / resume.
+
+The reference scaffolds atlas save/load via Boost serialization but ships it
+disabled (/root/reference/src/System.cc:488-492 commented out; SURVEY §5
+"Checkpoint / resume"). Here it is a real feature: the whole MapState pytree
+plus host cursors and stage state serialize to one compressed npz; loading
+reconstructs a System that can keep tracking or relocalize against the
+saved map. This is also the natural unit-test fixture format.
+"""
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.map_state import MapState
+
+FORMAT_VERSION = 1
+
+
+def save_map(path: str, system) -> None:
+    arrays = {f"ms_{k}": np.asarray(v)
+              for k, v in system.ms._asdict().items()}
+    meta = {
+        "version": FORMAT_VERSION,
+        "n_kf": system.n_kf,
+        "n_mp": system.n_mp,
+        "frame_id": system.frame_id,
+        "state": system.state,
+        "ref_kf": system.ref_kf,
+        "sparsifier_done": sorted(system._sparsifier.done)
+        if system._sparsifier else [],
+        "db_present": np.where(system._loop_closer.db.present)[0].tolist()
+        if system._loop_closer else [],
+    }
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    if system._loop_closer is not None:
+        arrays["db_rows"] = np.asarray(system._loop_closer.db.rows)
+    np.savez_compressed(path, **arrays)
+
+
+def load_map(path: str, system) -> None:
+    """Restore a saved map into a freshly constructed System with matching
+    static configuration."""
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} != "
+                         f"{FORMAT_VERSION}")
+    fields = {k[3:]: jnp.asarray(v) for k, v in data.items()
+              if k.startswith("ms_")}
+    system.ms = MapState(**fields)
+    system.n_kf = meta["n_kf"]
+    system.n_mp = meta["n_mp"]
+    system.frame_id = meta["frame_id"]
+    system.ref_kf = meta["ref_kf"]
+    system.state = "LOST"   # must relocalize against the loaded map
+    if system._sparsifier is not None:
+        system._sparsifier.done = set(meta["sparsifier_done"])
+    if system._loop_closer is not None and "db_rows" in data:
+        system._loop_closer.db.rows = jnp.asarray(data["db_rows"])
+        for i in meta["db_present"]:
+            system._loop_closer.db.present[i] = True
