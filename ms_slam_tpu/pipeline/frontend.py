@@ -73,3 +73,41 @@ def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
     sigma2 = scale2[feats_l.octave]
     return FrameData(feats=feats_l, u_right=sm.u_right, depth=sm.depth,
                      sigma2=sigma2)
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def process_rgbd(img: jnp.ndarray, depth_map: jnp.ndarray,
+                 calib: Calib, orb_cfg: orb.OrbConfig) -> FrameData:
+    """RGB-D frame: ORB on the gray image; each keypoint reads its depth
+    from the registered depth map and synthesizes a virtual right coordinate
+    uR = u - bf/d (ref Frame::ComputeStereoFromRGBD, src/Frame.cc)."""
+    img = img.astype(jnp.float32)
+    feats = orb.extract(img, orb_cfg)
+    h, w = depth_map.shape
+    ui = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    d = depth_map[vi, ui]
+    ok = (d > 0.05) & feats.valid
+    depth = jnp.where(ok, d, -1.0)
+    u_right = jnp.where(ok, feats.xy[:, 0] - calib.bf / jnp.maximum(d, 1e-6),
+                        -1.0)
+    scale2 = jnp.asarray(
+        [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
+    return FrameData(feats=feats, u_right=u_right, depth=depth,
+                     sigma2=scale2[feats.octave])
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def process_mono(img: jnp.ndarray, calib: Calib,
+                 orb_cfg: orb.OrbConfig) -> FrameData:
+    """Monocular frame: features only, no depth (ref the monocular Frame
+    ctor, include/Frame.h:70)."""
+    img = img.astype(jnp.float32)
+    feats = orb.extract(img, orb_cfg)
+    n = feats.xy.shape[0]
+    scale2 = jnp.asarray(
+        [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
+    return FrameData(feats=feats,
+                     u_right=jnp.full((n,), -1.0, jnp.float32),
+                     depth=jnp.full((n,), -1.0, jnp.float32),
+                     sigma2=scale2[feats.octave])

@@ -33,6 +33,11 @@ from .frontend import Calib, FrameData, process_stereo
 OK, NOT_INITIALIZED, RECENTLY_LOST, LOST = "OK", "NOT_INIT", "RECENTLY_LOST", "LOST"
 
 
+def matching_TH_LOW():
+    from ..ops.matching import TH_LOW
+    return TH_LOW
+
+
 @dataclass
 class SystemConfig:
     calib: Calib = None
@@ -103,7 +108,8 @@ class System:
     # ------------------------------------------------------------------
 
     def track_stereo(self, img_l, img_r, timestamp: float) -> np.ndarray:
-        """Process one rectified stereo pair; returns estimated Tcw (4,4)."""
+        """Process one rectified stereo pair; returns estimated Tcw (4,4)
+        (ref System::TrackStereo, src/System.cc:192)."""
         self.frame_id += 1
         t0 = time.perf_counter()
         img_l = np.clip(np.asarray(img_l), 0, 255).astype(np.uint8)
@@ -111,7 +117,40 @@ class System:
         frame = process_stereo(jnp.asarray(img_l), jnp.asarray(img_r),
                                self.calib, self.orb)
         self._tic(t0, "frontend")
+        return self._advance(frame, timestamp)
 
+    def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
+        """Process one registered RGB-D frame (ref System::TrackRGBD,
+        src/System.cc:273); depth in meters."""
+        from .frontend import process_rgbd
+        self.frame_id += 1
+        t0 = time.perf_counter()
+        img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        frame = process_rgbd(jnp.asarray(img),
+                             jnp.asarray(depth, jnp.float32),
+                             self.calib, self.orb)
+        self._tic(t0, "frontend")
+        return self._advance(frame, timestamp)
+
+    def track_monocular(self, img, timestamp: float) -> np.ndarray:
+        """Process one monocular frame (ref System::TrackMonocular,
+        src/System.cc:344). Map scale is arbitrary (normalized to median
+        scene depth 1 at initialization)."""
+        from .frontend import process_mono
+        self.frame_id += 1
+        t0 = time.perf_counter()
+        img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        frame = process_mono(jnp.asarray(img), self.calib, self.orb)
+        self._tic(t0, "frontend")
+        t0 = time.perf_counter()
+        if self.state == NOT_INITIALIZED:
+            self._monocular_initialization(frame, timestamp)
+        else:
+            self._track(frame, timestamp)
+        self._tic(t0, "track")
+        return self.current_pose()
+
+    def _advance(self, frame: FrameData, timestamp: float) -> np.ndarray:
         t0 = time.perf_counter()
         if self.state == NOT_INITIALIZED:
             self._stereo_initialization(frame, timestamp)
@@ -119,6 +158,97 @@ class System:
             self._track(frame, timestamp)
         self._tic(t0, "track")
         return self.current_pose()
+
+    # ------------------------------------------------------------------
+    # monocular initialization (ref Tracking::MonocularInitialization
+    # :2435 + CreateInitialMapMonocular :2511)
+    # ------------------------------------------------------------------
+
+    _mono_init_frame = None
+    _mono_init_ts = None
+
+    def _monocular_initialization(self, frame: FrameData, timestamp: float):
+        from ..ops import matching as mops
+        from ..ops import twoview
+        import jax
+
+        n_valid = int(jnp.sum(frame.feats.valid))
+        if self._mono_init_frame is None:
+            if n_valid > 100:
+                self._mono_init_frame = frame
+                self._mono_init_ts = timestamp
+            self._record(timestamp, lost=True)
+            return
+        f0 = self._mono_init_frame
+        mm = mops.mutual_match(f0.feats.desc, f0.feats.valid,
+                               frame.feats.desc, frame.feats.valid,
+                               max_dist=matching_TH_LOW(), nn_ratio=0.9)
+        if int(mm.n_matches) < 100:
+            self._mono_init_frame = frame if n_valid > 100 else None
+            self._record(timestamp, lost=True)
+            return
+        has = mm.idx_b >= 0
+        xy2 = frame.feats.xy[jnp.clip(mm.idx_b, 0)]
+        res = twoview.reconstruct(
+            self.calib.model, self.calib.params_array(),
+            f0.feats.xy, xy2, has, jax.random.PRNGKey(3))
+        if not bool(res.ok):
+            self._record(timestamp, lost=True)
+            return
+
+        # normalize scale: median depth -> 1 (ref CreateInitialMapMonocular
+        # invMedianDepth scaling)
+        inl = np.asarray(res.inlier)
+        X = np.array(res.X1)
+        med = np.median(X[inl, 2]) if inl.any() else 1.0
+        X /= med
+        t1 = np.asarray(res.t) / med
+
+        n_feat = self.cfg.map.n_feat
+        n_new = int(inl.sum())
+        slots = np.full(n_feat, -1, np.int32)
+        slots[np.where(inl)[0]] = self.n_mp + np.arange(n_new)
+        obs0 = slots
+        obs1 = np.full(n_feat, -1, np.int32)
+        ib = np.asarray(mm.idx_b)
+        obs1[ib[np.where(inl)[0]]] = slots[np.where(inl)[0]]
+
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        for slot, fr, R_, t_, obs in (
+                (0, f0, eye, zero, obs0),
+                (1, frame, jnp.asarray(res.R, jnp.float32),
+                 jnp.asarray(t1, jnp.float32), obs1)):
+            self.ms = M.insert_keyframe(
+                self.ms, jnp.asarray(slot), R_, t_, fr.feats.xy,
+                fr.feats.octave, fr.feats.desc, fr.u_right, fr.depth,
+                fr.feats.valid, jnp.asarray(obs),
+                jnp.asarray(self.frame_id - (1 if slot == 0 else 0)))
+        # map points: descriptors from frame0's features, normals toward cam0
+        sel = np.where(inl)[0]
+        pos = X[sel]
+        dist = np.linalg.norm(pos, axis=1)
+        normal = pos / np.maximum(dist, 1e-9)[:, None]
+        oct0 = np.asarray(f0.feats.octave)[sel]
+        maxd = dist * (self.orb.scale_factor ** oct0)
+        mind = maxd / (self.orb.scale_factor ** (self.orb.n_levels - 1))
+        self.ms = M.add_map_points(
+            self.ms, jnp.asarray(slots[sel]), jnp.ones(n_new, bool),
+            jnp.asarray(pos, jnp.float32), f0.feats.desc[jnp.asarray(sel)],
+            jnp.asarray(normal, jnp.float32), jnp.asarray(mind, jnp.float32),
+            jnp.asarray(maxd, jnp.float32), jnp.zeros(n_new, jnp.int32))
+        self.n_kf = 2
+        self.n_mp += n_new
+        self.ref_kf = 1
+        self.last_kf_frame = self.frame_id
+        self.last_R = jnp.asarray(res.R, jnp.float32)
+        self.last_t = jnp.asarray(t1, jnp.float32)
+        self.last_matched = self.ms.obs_mp[1]
+        self.n_inliers_ref = n_new
+        self.state = OK
+        self._mono_init_frame = None
+        self._local_mapping(1)
+        self._record(timestamp, lost=False)
 
     def current_pose(self) -> np.ndarray:
         T = np.eye(4)

@@ -85,6 +85,29 @@ class PlaneWorld:
         T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array([baseline, 0, 0])
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
 
+    def render_rgbd(self, K, T_wc, h, w):
+        """(gray, depth[m]) pair for the RGB-D frontend."""
+        img = self.render(K, T_wc, h, w)
+        # recompute depth (z in camera frame = ray depth * dir_z)
+        Rwc = T_wc[:3, :3]
+        Ow = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                           (vs - K[1, 2]) / K[1, 1],
+                           np.ones_like(us, np.float64)], axis=-1)
+        d = rays_c @ Rwc.T
+        depth = np.full((h, w), 0.0)
+        best_t = np.full((h, w), np.inf)
+        for ax, val in ((2, self.z_wall), (1, self.y_floor)):
+            da = d[..., ax]
+            da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
+            t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
+            ok = (t > 0.1) & (t < best_t)
+            # camera-frame z = t * (ray_c z) = t (rays have z=1 pre-rotation)
+            depth = np.where(ok, t, depth)
+            best_t = np.where(ok, t, best_t)
+        return img, depth.astype(np.float32)
+
 
 class BoxWorld:
     """Closed textured room: 4 walls + floor + ceiling, for loop-closure
