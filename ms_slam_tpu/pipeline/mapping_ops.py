@@ -80,10 +80,9 @@ def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
 # Triangulation against one covisible neighbor
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
-def triangulate_with(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
-                     kf_a: jnp.ndarray, kf_b: jnp.ndarray,
-                     mp_base: jnp.ndarray):
+def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                      kf_a: jnp.ndarray, kf_b: jnp.ndarray,
+                      mp_base: jnp.ndarray):
     """Create new map points by epipolar-matched triangulation between two
     keyframes (ref LocalMapping::CreateNewMapPoints /
     ORBmatcher::SearchForTriangulation). Returns (ms, n_new)."""
@@ -162,14 +161,17 @@ def triangulate_with(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     return ms, n_new
 
 
+triangulate_with = partial(jax.jit, static_argnames=("calib", "orb_cfg"))(
+    _triangulate_impl)
+
+
 # ---------------------------------------------------------------------------
 # Fusion of duplicate points into a target keyframe
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
-def fuse_into(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
-              kf_t: jnp.ndarray, cand_idx: jnp.ndarray,
-              cand_valid: jnp.ndarray):
+def _fuse_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+               kf_t: jnp.ndarray, cand_idx: jnp.ndarray,
+               cand_valid: jnp.ndarray):
     """Project candidate map points into keyframe kf_t; matched features
     either gain the observation or trigger a duplicate merge keeping the
     better-observed point (ref ORBmatcher::Fuse, src/ORBmatcher.cc:1404,
@@ -212,6 +214,9 @@ def fuse_into(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     return ms._replace(obs_mp=obs_all, mp_valid=mp_valid)
 
 
+fuse_into = partial(jax.jit, static_argnames=("calib", "orb_cfg"))(_fuse_impl)
+
+
 # ---------------------------------------------------------------------------
 # Local bundle adjustment over a covisibility window
 # ---------------------------------------------------------------------------
@@ -222,12 +227,10 @@ class LocalBAOut(NamedTuple):
     n_outliers: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_fixed", "pt_cap",
-                                   "n_iters"))
-def local_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
-             win_idx: jnp.ndarray, win_mask: jnp.ndarray,
-             fix_idx: jnp.ndarray, fix_mask: jnp.ndarray,
-             n_fixed: int, pt_cap: int, n_iters: int = 8) -> LocalBAOut:
+def _local_ba_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                   win_idx: jnp.ndarray, win_mask: jnp.ndarray,
+                   fix_idx: jnp.ndarray, fix_mask: jnp.ndarray,
+                   n_fixed: int, pt_cap: int, n_iters: int = 8) -> LocalBAOut:
     """Window BA: optimize win keyframes + their points, anchored by fixed
     keyframes (ref Optimizer::LocalBundleAdjustment, src/Optimizer.cc:1040).
 
@@ -288,12 +291,99 @@ def local_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                       n_outliers=jnp.sum(outlier).astype(jnp.int32))
 
 
+local_ba = partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_fixed",
+                                             "pt_cap", "n_iters"))(
+    _local_ba_impl)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-keyframe mapping step (triangulate + fuse + window BA + cull)
+# ---------------------------------------------------------------------------
+
+class MappingStepOut(NamedTuple):
+    ms: M.MapState
+    info: jnp.ndarray
+    """(4 + Wk,) int32: [n_new_mp, n_factors, n_ba_outliers, n_culled,
+    window slots (-1 padded)] — one fetch per keyframe."""
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
+                                   "n_fixed", "pt_cap", "ba_iters"),
+         donate_argnames=("ms",))
+def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                 kf_slot: jnp.ndarray, mp_base: jnp.ndarray,
+                 n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
+                 ba_iters: int) -> MappingStepOut:
+    """The whole LocalMapping iteration as one device call (ref
+    LocalMapping::Run body, src/LocalMapping.cc:68-: triangulation against
+    covisible neighbors, duplicate fusion, windowed BA, point culling) —
+    replacing ~10 separate dispatches + host round trips per keyframe."""
+    mp_base = jnp.asarray(mp_base, jnp.int32)
+    # covisibility once: neighbors for triangulation AND the BA window
+    counts = M.covisibility_counts(ms, kf_slot)
+    top_w, top_i = jax.lax.top_k(counts, window_kf - 1 + n_fixed)
+
+    # --- triangulation against the best n_tri neighbors (scanned) ---
+    def tri_body(carry, nb):
+        ms, base = carry
+        nb_idx, nb_ok = nb
+
+        def do(ms_base):
+            ms, base = ms_base
+            ms2, n_new = _triangulate_impl(ms, calib, orb_cfg, kf_slot,
+                                           nb_idx, base)
+            return ms2, base + n_new
+
+        ms, base = jax.lax.cond(nb_ok, do, lambda x: x, (ms, base))
+        return (ms, base), None
+
+    nb_ok = top_w[:n_tri] >= 10
+    (ms, mp_end), _ = jax.lax.scan(
+        tri_body, (ms, mp_base), (top_i[:n_tri], nb_ok))
+
+    # --- fuse neighbor landmarks into the new keyframe ---
+    nmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+        jnp.where(top_w[:n_tri] > 0, top_i[:n_tri],
+                  ms.kf_valid.shape[0])].set(True, mode="drop")
+    cand_mask = M.local_map_mask(ms, jnp.arange(ms.kf_valid.shape[0]), nmask)
+    c_idx, c_valid = M.gather_local_points(ms, cand_mask, pt_cap)
+    ms = _fuse_impl(ms, calib, orb_cfg, kf_slot, c_idx, c_valid)
+
+    # --- BA window + fixed anchors (gauge handled by masking) ---
+    win_idx = jnp.concatenate([kf_slot[None], top_i[:window_kf - 1]])
+    win_mask = jnp.concatenate([jnp.ones((1,), bool),
+                                top_w[:window_kf - 1] > 0])
+    fix_idx = top_i[window_kf - 1:window_kf - 1 + n_fixed]
+    fix_mask = top_w[window_kf - 1:window_kf - 1 + n_fixed] > 0
+    # if no anchors: demote the oldest (min slot id) window keyframe
+    no_anchor = ~jnp.any(fix_mask)
+    oldest_pos = jnp.argmin(jnp.where(win_mask, win_idx, 1 << 30))
+    demote = no_anchor & (jnp.sum(win_mask) > 1)
+    win_mask = win_mask.at[oldest_pos].set(
+        win_mask[oldest_pos] & ~demote)
+    fix_idx = fix_idx.at[0].set(
+        jnp.where(demote, win_idx[oldest_pos], fix_idx[0]))
+    fix_mask = fix_mask.at[0].set(fix_mask[0] | demote)
+
+    outba = _local_ba_impl(ms, calib, orb_cfg, win_idx, win_mask,
+                           fix_idx, fix_mask, n_fixed, pt_cap, ba_iters)
+    ms = outba.ms
+
+    # --- point culling ---
+    ms, n_culled = _cull_impl(ms, kf_slot)
+
+    info = jnp.concatenate([
+        jnp.stack([mp_end - mp_base, outba.n_factors, outba.n_outliers,
+                   n_culled]).astype(jnp.int32),
+        jnp.where(win_mask, win_idx, -1).astype(jnp.int32)])
+    return MappingStepOut(ms=ms, info=info)
+
+
 # ---------------------------------------------------------------------------
 # Map point culling
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def cull_map_points(ms: M.MapState, current_kf_count: jnp.ndarray):
+def _cull_impl(ms: M.MapState, current_kf_count: jnp.ndarray):
     """Functional MapPointCulling (ref src/LocalMapping.cc:370): kill points
     with low found/visible ratio or too few observations soon after
     creation. Ages are measured in keyframes inserted since creation."""
@@ -306,6 +396,9 @@ def cull_map_points(ms: M.MapState, current_kf_count: jnp.ndarray):
         | ((age >= 2) & (age <= 3) & (n_obs <= 2))
         | (n_obs == 0))
     return M.delete_map_points(ms, kill), jnp.sum(kill).astype(jnp.int32)
+
+
+cull_map_points = jax.jit(_cull_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -83,8 +83,10 @@ class System:
         self.n_mp = 0
         self.state = NOT_INITIALIZED
         self.frame_id = -1
-        self.last_R = jnp.eye(3)
-        self.last_t = jnp.zeros(3)
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, dtype=np.float32)
+        self._ref_pose_np = (np.eye(3, dtype=np.float32),
+                             np.zeros(3, dtype=np.float32))
         self.vel: Optional[np.ndarray] = None   # 4x4 relative motion
         self.last_matched = None                # (N,) device
         self.ref_kf = 0
@@ -241,13 +243,15 @@ class System:
         self.n_mp += n_new
         self.ref_kf = 1
         self.last_kf_frame = self.frame_id
-        self.last_R = jnp.asarray(res.R, jnp.float32)
-        self.last_t = jnp.asarray(t1, jnp.float32)
+        self.last_R = np.asarray(res.R, dtype=np.float32)
+        self.last_t = np.asarray(t1, dtype=np.float32)
         self.last_matched = self.ms.obs_mp[1]
         self.n_inliers_ref = n_new
         self.state = OK
         self._mono_init_frame = None
         self._local_mapping(1)
+        self._refresh_ref_pose()
+        self.last_R, self.last_t = self._ref_pose_np
         self._record(timestamp, lost=False)
 
     def current_pose(self) -> np.ndarray:
@@ -335,7 +339,9 @@ class System:
         self.n_mp += int(n_new)
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
-        self.last_R, self.last_t = R, t
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, dtype=np.float32)
+        self._ref_pose_np = (self.last_R, self.last_t)
         self.last_matched = self.ms.obs_mp[kf_slot]
         self.n_inliers_ref = n_depth
         self.state = OK
@@ -360,10 +366,12 @@ class System:
             jnp.asarray(T_last[:3, 3], jnp.float32),
             last_matched, jnp.asarray(self.ref_kf),
             cfg.map.local_mp_cap)
-        stats = np.asarray(out.stats)
+        packed = np.asarray(out.stats)  # the one per-frame fetch
+        R_np = packed[:9].reshape(3, 3).astype(np.float32)
+        t_np = packed[9:12].astype(np.float32)
         (n_pre, _used_wide, _used_fb, n_inliers,
-         n_close, n_close_untracked, best_kf, _n_cand) = (int(v)
-                                                          for v in stats)
+         n_close, n_close_untracked, best_kf, _n_cand) = (
+            int(v) for v in packed[12:20])
         self.ms = out.ms
 
         if n_pre < 10 or n_inliers < 15:
@@ -377,17 +385,22 @@ class System:
             out = rl
             n_inliers = int(rl.n_inliers)
             best_kf = self.ref_kf
+            R_np = np.asarray(rl.R, dtype=np.float32)
+            t_np = np.asarray(rl.t, dtype=np.float32)
+            self._refresh_ref_pose()
 
         self.state = OK
-        # pose + velocity update
+        # pose + velocity update (all host-side numpy, no device fetches)
         T_now = np.eye(4)
-        T_now[:3, :3] = np.asarray(out.R)
-        T_now[:3, 3] = np.asarray(out.t)
+        T_now[:3, :3] = R_np
+        T_now[:3, 3] = t_np
         self.vel = T_now @ np.linalg.inv(T_last)
-        self.last_R = out.R
-        self.last_t = out.t
+        self.last_R = R_np
+        self.last_t = t_np
         self.last_matched = out.matched_mp
-        self.ref_kf = int(best_kf)
+        if int(best_kf) != self.ref_kf:
+            self.ref_kf = int(best_kf)
+            self._refresh_ref_pose()
 
         # --- keyframe decision (ref NeedNewKeyFrame, src/Tracking.cc:3040) ---
         need_close = (n_close < 100) and (n_close_untracked > 70)
@@ -413,6 +426,9 @@ class System:
         self.last_matched = self.ms.obs_mp[slot]
         self._local_mapping(slot)
         self.n_inliers_ref = int(jnp.sum(self.ms.obs_mp[slot] >= 0))
+        # BA may have moved the new keyframe: re-sync the host pose cache
+        self._refresh_ref_pose()
+        self.last_R, self.last_t = self._ref_pose_np
 
     def _relocalize(self, frame: FrameData):
         """Relocalization against the sparsified keyframe database (ref
@@ -442,76 +458,32 @@ class System:
     def _local_mapping(self, kf_slot: int):
         cfg = self.cfg
         t0 = time.perf_counter()
-        # triangulate with best covisible neighbors
-        nb_idx, nb_w, nb_ok = M.best_covisible(
-            self.ms, jnp.asarray(kf_slot), cfg.n_triangulate_neighbors,
-            min_weight=10)
-        nb = np.asarray(nb_idx)[np.asarray(nb_ok)]
-        for b in nb:
-            if self.n_mp >= cfg.map.max_mp:
-                break
-            self.ms, n_new = mo.triangulate_with(
-                self.ms, self.calib, self.orb, jnp.asarray(kf_slot),
-                jnp.asarray(int(b)), jnp.asarray(self.n_mp))
-            self.n_mp += int(n_new)
-
-        # fuse duplicates with neighbors
-        if len(nb):
-            nb_j = jnp.asarray(nb)
-            nmask = jnp.ones((len(nb),), bool)
-            cand_mask = M.local_map_mask(self.ms, nb_j, nmask)
-            c_idx, c_valid = M.gather_local_points(self.ms, cand_mask,
-                                                   cfg.map.local_mp_cap)
-            self.ms = mo.fuse_into(self.ms, self.calib, self.orb,
-                                   jnp.asarray(kf_slot), c_idx, c_valid)
-        self._tic(t0, "triangulate+fuse")
-
-        # local BA window
-        t0 = time.perf_counter()
-        Wk = cfg.map.window_kf
-        win_idx, win_w, _ = M.best_covisible(self.ms, jnp.asarray(kf_slot),
-                                             Wk - 1, min_weight=1)
-        win_idx = jnp.concatenate([jnp.asarray([kf_slot]), win_idx])
-        win_mask = jnp.concatenate(
-            [jnp.asarray([True]), np.asarray(win_w) > 0])
-        # fixed anchors: next-best covisible beyond the window
-        all_cov = np.array(M.covisibility_counts(self.ms, jnp.asarray(kf_slot)))
-        in_win = np.zeros_like(all_cov, dtype=bool)
-        in_win[np.asarray(win_idx)[np.asarray(win_mask)]] = True
-        all_cov[in_win] = 0
-        fix_order = np.argsort(-all_cov)[:cfg.n_fixed_cams]
-        fix_mask = all_cov[fix_order] > 0
-        # oldest window KF fixed if no anchors exist (gauge)
-        if self.n_kf <= Wk or not fix_mask.any():
-            oldest = int(np.asarray(win_idx)[np.asarray(win_mask)].min())
-            keep = np.asarray(win_idx) != oldest
-            win_mask = jnp.asarray(np.asarray(win_mask) & keep)
-            fix_order = np.concatenate([[oldest], fix_order[:-1]])
-            fix_mask = np.concatenate([[True], fix_mask[:-1]])
-        outba = mo.local_ba(
-            self.ms, self.calib, self.orb, win_idx, win_mask,
-            jnp.asarray(fix_order, dtype=jnp.int32), jnp.asarray(fix_mask),
-            n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
-            n_iters=cfg.ba_iters)
-        self.ms = outba.ms
-        self._tic(t0, "local_ba")
-
-        # point culling (age measured against the new KF's id, matching the
-        # reference's mnFirstKFid vs mnId comparison)
-        self.ms, _ = mo.cull_map_points(self.ms, jnp.asarray(kf_slot))
+        out = mo.mapping_step(
+            self.ms, self.calib, self.orb, jnp.asarray(kf_slot),
+            jnp.asarray(self.n_mp),
+            n_tri=cfg.n_triangulate_neighbors,
+            window_kf=cfg.map.window_kf, n_fixed=cfg.n_fixed_cams,
+            pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters)
+        self.ms = out.ms
+        info = np.asarray(out.info)   # the one per-keyframe fetch
+        self.n_mp += int(info[0])
+        window = [int(v) for v in info[4:] if v >= 0]
+        self._tic(t0, "mapping_step")
 
         # sparsification feed: miss-counter update (ref
         # KeyFrame::UpdateCountInLocalMapping + LocalMapping.cc:252-274)
         if self._sparsifier is not None:
-            self._sparsifier.observe_window(
-                np.asarray(win_idx)[np.asarray(win_mask)].tolist())
+            self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
             self._loop_closer.insert_keyframe(kf_slot)
 
+    def _refresh_ref_pose(self):
+        self._ref_pose_np = (np.asarray(self.ms.kf_R[self.ref_kf]),
+                             np.asarray(self.ms.kf_t[self.ref_kf]))
+
     def _record(self, timestamp, lost: bool):
         T_cw = self.current_pose()
-        R_ref = np.asarray(self.ms.kf_R[self.ref_kf])
-        t_ref = np.asarray(self.ms.kf_t[self.ref_kf])
+        R_ref, t_ref = self._ref_pose_np
         T_rw = np.eye(4)
         T_rw[:3, :3] = R_ref
         T_rw[:3, 3] = t_ref

@@ -94,8 +94,9 @@ class TrackFullOut(NamedTuple):
     t: jnp.ndarray
     matched_mp: jnp.ndarray
     stats: jnp.ndarray
-    """(8,) int32: [motion_inliers, used_wide, used_fallback, local_inliers,
-    n_close_tracked, n_close_untracked, best_local_kf, n_local_candidates]"""
+    """(20,) float32: [R row-major (9), t (3), motion_inliers, used_wide,
+    used_fallback, local_inliers, n_close_tracked, n_close_untracked,
+    best_local_kf, n_local_candidates]"""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "local_cap"),
@@ -135,12 +136,19 @@ def track_full(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                         l_idx, l_valid, jnp.asarray(1.0), jnp.asarray(0.8))
     ms = update_point_stats(ms, l_idx, l_valid, out4.matched_mp)
     n_ct, n_cu = count_trackable_close(calib, frame, out4.matched_mp)
-    stats = jnp.stack([
+    stats_i = jnp.stack([
         out3.n_inliers, need_wide.astype(jnp.int32), need_fb.astype(jnp.int32),
         out4.n_inliers, n_ct, n_cu, lk_idx[0],
         jnp.sum(l_valid).astype(jnp.int32)]).astype(jnp.int32)
+    # pose + stats packed into one (20,) array => a single host fetch per
+    # frame (each device->host transfer is a full round trip on a tunneled
+    # TPU)
+    packed = jnp.concatenate([
+        out4.R.reshape(9).astype(jnp.float32),
+        out4.t.astype(jnp.float32),
+        stats_i.astype(jnp.float32)])
     return TrackFullOut(ms=ms, R=out4.R, t=out4.t,
-                        matched_mp=out4.matched_mp, stats=stats)
+                        matched_mp=out4.matched_mp, stats=packed)
 
 
 @partial(jax.jit, static_argnames=("k",))
