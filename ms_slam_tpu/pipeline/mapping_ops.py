@@ -379,6 +379,45 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     return MappingStepOut(ms=ms, info=info)
 
 
+class KeyframeStepOut(NamedTuple):
+    ms: M.MapState
+    info: jnp.ndarray
+    """(18 + Wk,) float32: [n_new_stereo, n_new_tri, n_factors,
+    n_ba_outliers, n_culled, n_obs_kf, R_kf row-major (9), t_kf (3),
+    window slots (-1 padded)] — ONE fetch for the entire keyframe path."""
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
+                                   "n_fixed", "pt_cap", "ba_iters"),
+         donate_argnames=("ms",))
+def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                  slot: jnp.ndarray, frame: FrameData, R: jnp.ndarray,
+                  t: jnp.ndarray, matched_mp: jnp.ndarray,
+                  mp_base: jnp.ndarray, frame_id: jnp.ndarray,
+                  depth_max: jnp.ndarray,
+                  n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
+                  ba_iters: int) -> KeyframeStepOut:
+    """Keyframe insertion + the whole local-mapping iteration in one device
+    call (create_keyframe then mapping_step), returning every scalar the
+    host schedule needs — including the BA-refined keyframe pose — in a
+    single packed array (one 46ms tunnel round trip instead of six)."""
+    mp_base = jnp.asarray(mp_base, jnp.int32)
+    ms, n_stereo = create_keyframe(ms, calib, slot, frame, R, t, matched_mp,
+                                   mp_base, frame_id, depth_max)
+    out = mapping_step(ms, calib, orb_cfg, slot, mp_base + n_stereo,
+                       n_tri=n_tri, window_kf=window_kf, n_fixed=n_fixed,
+                       pt_cap=pt_cap, ba_iters=ba_iters)
+    ms = out.ms
+    n_obs = jnp.sum(ms.obs_mp[slot] >= 0).astype(jnp.int32)
+    info = jnp.concatenate([
+        jnp.stack([n_stereo, out.info[0], out.info[1], out.info[2],
+                   out.info[3], n_obs]).astype(jnp.float32),
+        ms.kf_R[slot].reshape(9).astype(jnp.float32),
+        ms.kf_t[slot].astype(jnp.float32),
+        out.info[4:].astype(jnp.float32)])
+    return KeyframeStepOut(ms=ms, info=info)
+
+
 # ---------------------------------------------------------------------------
 # Map point culling
 # ---------------------------------------------------------------------------

@@ -414,21 +414,33 @@ class System:
     def _create_keyframe(self, frame: FrameData, out):
         if self.n_kf >= self.cfg.map.max_kf:
             return
+        cfg = self.cfg
         slot = self.n_kf
-        self.ms, n_new = mo.create_keyframe(
-            self.ms, self.calib, jnp.asarray(slot), frame, out.R, out.t,
-            out.matched_mp, jnp.asarray(self.n_mp),
-            jnp.asarray(self.frame_id), jnp.asarray(self.calib.th_depth))
+        t0 = time.perf_counter()
+        ko = mo.keyframe_step(
+            self.ms, self.calib, self.orb, jnp.asarray(slot), frame,
+            out.R, out.t, out.matched_mp, jnp.asarray(self.n_mp),
+            jnp.asarray(self.frame_id), jnp.asarray(self.calib.th_depth),
+            n_tri=cfg.n_triangulate_neighbors, window_kf=cfg.map.window_kf,
+            n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
+            ba_iters=cfg.ba_iters)
+        self.ms = ko.ms
+        info = np.asarray(ko.info)   # the one keyframe-path fetch
+        self.n_mp += int(info[0]) + int(info[1])
         self.n_kf += 1
-        self.n_mp += int(n_new)
         self.ref_kf = slot
         self.last_kf_frame = self.frame_id
         self.last_matched = self.ms.obs_mp[slot]
-        self._local_mapping(slot)
-        self.n_inliers_ref = int(jnp.sum(self.ms.obs_mp[slot] >= 0))
-        # BA may have moved the new keyframe: re-sync the host pose cache
-        self._refresh_ref_pose()
+        self.n_inliers_ref = int(info[5])
+        self._ref_pose_np = (info[6:15].reshape(3, 3).astype(np.float32),
+                             info[15:18].astype(np.float32))
         self.last_R, self.last_t = self._ref_pose_np
+        window = [int(v) for v in info[18:] if v >= 0]
+        self._tic(t0, "keyframe_step")
+        if self._sparsifier is not None:
+            self._sparsifier.observe_window(window)
+        if self._loop_closer is not None:
+            self._loop_closer.insert_keyframe(slot)
 
     def _relocalize(self, frame: FrameData):
         """Relocalization against the sparsified keyframe database (ref
@@ -478,8 +490,11 @@ class System:
             self._loop_closer.insert_keyframe(kf_slot)
 
     def _refresh_ref_pose(self):
-        self._ref_pose_np = (np.asarray(self.ms.kf_R[self.ref_kf]),
-                             np.asarray(self.ms.kf_t[self.ref_kf]))
+        packed = np.asarray(jnp.concatenate([
+            self.ms.kf_R[self.ref_kf].reshape(9),
+            self.ms.kf_t[self.ref_kf]]))
+        self._ref_pose_np = (packed[:9].reshape(3, 3).astype(np.float32),
+                             packed[9:12].astype(np.float32))
 
     def _record(self, timestamp, lost: bool):
         T_cw = self.current_pose()
