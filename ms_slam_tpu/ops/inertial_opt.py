@@ -1,0 +1,213 @@
+"""Visual-inertial state optimization kernels.
+
+Covers the reference's inertial g2o graphs with AD-based Gauss-Newton:
+
+- pose_vel_bias_optimize: the tracking-side motion-only optimization of
+  [T_wb, v, bg, ba] with visual reprojection + preintegration factor against
+  the (fixed) previous state + bias random walk
+  (ref Optimizer::PoseInertialOptimizationLastKeyFrame / LastFrame,
+  /root/reference/src/Optimizer.cc:4422/:4781, edges EdgeInertial,
+  EdgeGyroRW/EdgeAccRW of src/G2oTypes.cc).
+- inertial_init: the IMU initialization MAP estimate of gravity direction,
+  shared biases (and optional scale) + per-keyframe velocities given camera
+  poses and consecutive preintegrations
+  (ref Optimizer::InertialOptimization, src/Optimizer.cc:3050, called from
+  LocalMapping::InitializeIMU :1194 with priorG/priorA).
+
+The state dimensions are tiny (15 or 9+3K), so jacfwd over the full
+residual stack + dense normal equations is both simple and fast — the
+batched visual block dominates and lives on the MXU.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras, imu, lie, robust
+
+G0 = imu.GRAVITY
+
+
+class PVBResult(NamedTuple):
+    R_wb: jnp.ndarray
+    p_wb: jnp.ndarray
+    v: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inlier: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("model", "n_rounds", "n_iters"))
+def pose_vel_bias_optimize(
+    model: int, params: jnp.ndarray, bf: jnp.ndarray,
+    R_bc: jnp.ndarray, t_bc: jnp.ndarray,
+    # previous (fixed) body state + preintegration since then
+    R1: jnp.ndarray, p1: jnp.ndarray, v1: jnp.ndarray,
+    bg1: jnp.ndarray, ba1: jnp.ndarray, preint: imu.PreintState,
+    # current state initial guess
+    R2: jnp.ndarray, p2: jnp.ndarray, v2: jnp.ndarray,
+    # visual observations (body-2 frame)
+    X: jnp.ndarray, uv: jnp.ndarray, u_right: jnp.ndarray,
+    sigma2: jnp.ndarray, mask: jnp.ndarray,
+    walk_info: jnp.ndarray,  # (6,) gyro/acc random-walk information diag
+    n_rounds: int = 4, n_iters: int = 6,
+) -> PVBResult:
+    """Optimize the current body state given the last state and visual
+    matches. T_bc: camera-from-body extrinsics (ref IMU::Calib mTbc)."""
+    dt = R2.dtype
+    is_stereo = u_right >= 0.0
+    w_info = 1.0 / jnp.maximum(sigma2, 1e-12)
+    info9 = imu.information(preint)
+
+    def unpack(x):
+        # additive position / left-multiplicative rotation parameterization
+        p = p2 + x[:3]
+        R = lie.normalize_rotation(lie.so3_exp(x[3:6]) @ R2)
+        v = v2 + x[6:9]
+        bg = bg1 + x[9:12]
+        ba = ba1 + x[12:15]
+        return R, p, v, bg, ba
+
+    def visual_res(R, p):
+        # camera pose: T_cw = (T_wb T_bc)^-1
+        R_wc = R @ R_bc
+        t_wc = R @ t_bc + p
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        Xc = lie.se3_apply(R_cw, t_cw, X)
+        uvp = cameras.project(model, params, Xc)
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        urp = uvp[..., 0] - bf / z
+        r2 = uv - uvp
+        r3 = jnp.where(is_stereo, u_right - urp, 0.0)
+        return jnp.concatenate([r2, r3[..., None]], -1), Xc[..., 2]
+
+    def full_res(x, vis_w):
+        R, p, v, bg, ba = unpack(x)
+        rv, _ = visual_res(R, p)
+        rv = rv * jnp.sqrt(vis_w)[:, None]
+        ri = imu.inertial_residual(preint, R1, v1, p1, R, v, p, bg, ba)
+        # whiten with sqrt info (Cholesky)
+        L = jnp.linalg.cholesky(info9 + 1e-9 * jnp.eye(9, dtype=dt))
+        ri_w = L.T @ ri
+        rb = jnp.concatenate([bg - bg1, ba - ba1]) * jnp.sqrt(walk_info)
+        return jnp.concatenate([rv.reshape(-1), ri_w, rb])
+
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    def round_fn(carry, _):
+        x, inlier = carry
+
+        def gn(i, x):
+            R, p, v, bg, ba = unpack(x)
+            rv, z = visual_res(R, p)
+            chi2 = jnp.sum(rv * rv, -1) * w_info
+            w = robust.huber_weight(chi2, hub_d2) * w_info * inlier \
+                * (z > 1e-2)
+            r = full_res(x, w)
+            J = jax.jacfwd(full_res)(x, w)
+            H = J.T @ J + 1e-6 * jnp.eye(15, dtype=dt)
+            g = -J.T @ r
+            dx = jnp.linalg.solve(H, g)
+            return x + dx
+
+        x = jax.lax.fori_loop(0, n_iters, gn, x)
+        R, p, _, _, _ = unpack(x)
+        rv, z = visual_res(R, p)
+        chi2 = jnp.sum(rv * rv, -1) * w_info
+        inlier = mask & (chi2 <= hub_d2) & (z > 0)
+        return (x, inlier), None
+
+    x0 = jnp.zeros(15, dt)
+    (x, inlier), _ = jax.lax.scan(round_fn, (x0, mask), None,
+                                  length=n_rounds)
+    R, p, v, bg, ba = unpack(x)
+    return PVBResult(R_wb=R, p_wb=p, v=v, bg=bg, ba=ba, inlier=inlier,
+                     n_inliers=jnp.sum(inlier).astype(jnp.int32))
+
+
+class InertialInitResult(NamedTuple):
+    R_wg: jnp.ndarray    # (3,3) gravity direction (g_world = R_wg [0,0,-G])
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    scale: jnp.ndarray
+    vels: jnp.ndarray    # (K,3) body velocities
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_iters", "with_scale"))
+def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
+                  preints: imu.PreintState,  # stacked (K-1) pytree
+                  prior_g: jnp.ndarray, prior_a: jnp.ndarray,
+                  n_iters: int = 20, with_scale: bool = False
+                  ) -> InertialInitResult:
+    """Gravity/bias/scale MAP from keyframe poses + chained preintegrations.
+
+    R_wb/p_wb: (K,...) body keyframe poses (visual, up-to-scale for mono).
+    preints: preintegration between consecutive keyframes, fields stacked on
+    a leading (K-1,) axis. prior_g/prior_a: bias priors (ref priorG=1e2,
+    priorA=1e6-1e10 schedule, src/LocalMapping.cc:185-224).
+    """
+    K = R_wb.shape[0]
+    dtK = preints.dT
+    dt = R_wb.dtype
+
+    # initial velocities by finite differences (ref InitializeIMU :1256)
+    def x_unpack(x):
+        rg = jnp.concatenate([x[:2], jnp.zeros(1, dt)])
+        R_wg = lie.so3_exp(rg)
+        bg = x[2:5]
+        ba = x[5:8]
+        s = jnp.exp(x[8]) if with_scale else jnp.ones((), dt)
+        vels = x[9:].reshape(K, 3)
+        return R_wg, bg, ba, s, vels
+
+    def residuals(x):
+        R_wg, bg, ba, s, vels = x_unpack(x)
+        g = R_wg @ jnp.asarray([0.0, 0.0, -G0], dt)
+
+        def one(i):
+            st = jax.tree.map(lambda a: a[i], preints)
+            T = st.dT
+            dR = imu.delta_rotation(st, bg)
+            dV = imu.delta_velocity(st, bg, ba)
+            dP = imu.delta_position(st, bg, ba)
+            er = lie.so3_log(dR.T @ R_wb[i].T @ R_wb[i + 1])
+            ev = R_wb[i].T @ (vels[i + 1] - vels[i] - g * T) - dV
+            ep = R_wb[i].T @ (s * (p_wb[i + 1] - p_wb[i]) - vels[i] * T
+                              - 0.5 * g * T * T) - dP
+            r = jnp.concatenate([er, ev, ep])
+            # whiten with the preintegration information (EdgeInertialGS
+            # carries C^-1; without it the bias priors dominate)
+            L = jnp.linalg.cholesky(
+                imu.information(st) + 1e-6 * jnp.eye(9, dtype=dt))
+            return L.T @ r
+
+        res = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
+        prior = jnp.concatenate([jnp.sqrt(prior_g) * bg,
+                                 jnp.sqrt(prior_a) * ba])
+        return jnp.concatenate([res, prior])
+
+    x0 = jnp.zeros(9 + 3 * K, dt)
+    # FD velocity init
+    v_fd = jnp.concatenate([
+        (p_wb[1:] - p_wb[:-1]) / jnp.maximum(dtK[:, None], 1e-3),
+        jnp.zeros((1, 3), dt)])
+    v_fd = jnp.concatenate([v_fd[:1], v_fd[:-1]])  # shift: v_i approx
+    x0 = x0.at[9:].set(v_fd.reshape(-1))
+
+    def gn(i, x):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J + 1e-6 * jnp.eye(x.shape[0], dtype=dt)
+        return x + jnp.linalg.solve(H, -J.T @ r)
+
+    x = jax.lax.fori_loop(0, n_iters, gn, x0)
+    R_wg, bg, ba, s, vels = x_unpack(x)
+    r = residuals(x)
+    return InertialInitResult(R_wg=R_wg, bg=bg, ba=ba, scale=s, vels=vels,
+                              cost=jnp.sum(r * r))
