@@ -63,6 +63,7 @@ def integrate(bias: jnp.ndarray, meas: jnp.ndarray, valid: jnp.ndarray,
     noise_*: continuous-time noise densities already discretized by the
     caller or raw (we discretize per-sample: sigma^2/dt).
     """
+    bias = bias.astype(meas.dtype)
     st = init_state(bias, meas.dtype)
     bg = bias[:3]
     ba = bias[3:]

@@ -62,6 +62,11 @@ class SystemConfig:
     nonlocal_kf: int = 8
     # loop closing
     loop_closing: bool = False
+    # inertial mode (stereo-inertial): IMU-aided prediction + staged
+    # gravity/bias initialization (ref LocalMapping::InitializeIMU schedule)
+    use_imu: bool = False
+    imu_init_kfs: int = 8
+    imu_init_time: float = 1.0
 
 
 @dataclass
@@ -94,6 +99,16 @@ class System:
         self.n_inliers_ref = 0
         self.trajectory: list[TrajectoryEntry] = []
         self.timing: dict[str, list] = {}
+        # inertial host state (ref Tracking IMU members)
+        self.imu_initialized = False
+        self.gravity = None                     # (3,) world gravity accel
+        self.imu_bias = np.zeros(6, np.float32)  # [bg, ba]
+        self.vel_w = np.zeros(3, np.float32)     # body velocity (world)
+        self._imu_frame_rows = None
+        self._kf_imu_segments: list = []         # raw rows per KF interval
+        self._imu_accum: list = []               # rows since last keyframe
+        self._kf_times: list = []
+        self._last_ts = None
         # sparsification bookkeeping (host): queue of non-local KF slots
         self.sparsify_queue: list[int] = []
         self._sparsifier = None
@@ -120,6 +135,17 @@ class System:
                                self.calib, self.orb)
         self._tic(t0, "frontend")
         return self._advance(frame, timestamp)
+
+    def track_stereo_imu(self, img_l, img_r, timestamp: float,
+                         imu_rows) -> np.ndarray:
+        """Stereo-inertial step (ref System::TrackStereo with vImuMeas,
+        src/System.cc:259-261): imu_rows (M,7) = [dt, ax, ay, az, gx, gy,
+        gz] measurements since the previous frame."""
+        imu_rows = np.asarray(imu_rows, np.float32).reshape(-1, 7)
+        self._imu_frame_rows = imu_rows
+        self._imu_accum.append(imu_rows)
+        self._last_ts = timestamp
+        return self.track_stereo(img_l, img_r, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         """Process one registered RGB-D frame (ref System::TrackRGBD,
@@ -345,13 +371,22 @@ class System:
         self.last_matched = self.ms.obs_mp[kf_slot]
         self.n_inliers_ref = n_depth
         self.state = OK
+        if self.cfg.use_imu:
+            self._imu_accum = []
+            self._kf_times.append(timestamp)
         self._record(timestamp, lost=False)
 
     def _track(self, frame: FrameData, timestamp: float):
         cfg = self.cfg
-        # --- pose prediction (constant velocity, ref TrackWithMotionModel) ---
+        # --- pose prediction: IMU when initialized (ref PredictStateIMU,
+        # src/Tracking.cc:1727), else constant velocity ---
         T_last = self.current_pose()
-        T_pred = (self.vel @ T_last) if self.vel is not None else T_last
+        if (self.imu_initialized and self._imu_frame_rows is not None
+                and len(self._imu_frame_rows)):
+            T_pred, v_pred = self._predict_imu(T_last)
+        else:
+            T_pred = (self.vel @ T_last) if self.vel is not None else T_last
+            v_pred = None
         R0 = jnp.asarray(T_pred[:3, :3], jnp.float32)
         t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
 
@@ -398,6 +433,12 @@ class System:
         self.last_R = R_np
         self.last_t = t_np
         self.last_matched = out.matched_mp
+        if self.cfg.use_imu and self._last_frame_dt() > 0:
+            # body velocity from pose differencing (refined by IMU predict)
+            c_now = -R_np.T @ t_np
+            c_last = -T_last[:3, :3].T @ T_last[:3, 3]
+            self.vel_w = ((c_now - c_last) / self._last_frame_dt()).astype(
+                np.float32)
         if int(best_kf) != self.ref_kf:
             self.ref_kf = int(best_kf)
             self._refresh_ref_pose()
@@ -437,6 +478,13 @@ class System:
         self.last_R, self.last_t = self._ref_pose_np
         window = [int(v) for v in info[18:] if v >= 0]
         self._tic(t0, "keyframe_step")
+        if self.cfg.use_imu:
+            rows = (np.concatenate(self._imu_accum)
+                    if self._imu_accum else np.zeros((0, 7), np.float32))
+            self._kf_imu_segments.append(rows)
+            self._imu_accum = []
+            self._kf_times.append(self._last_ts or 0.0)
+            self._try_imu_init()
         if self._sparsifier is not None:
             self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
@@ -488,6 +536,88 @@ class System:
             self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
             self._loop_closer.insert_keyframe(kf_slot)
+
+    # ------------------------------------------------------------------
+    # inertial helpers (host-side; prediction math is tiny)
+    # ------------------------------------------------------------------
+
+    def _last_frame_dt(self) -> float:
+        if len(self.trajectory) >= 1 and self._last_ts is not None:
+            return max(self._last_ts - self.trajectory[-1].timestamp, 0.0)
+        return 0.0
+
+    @staticmethod
+    def _integrate_np(rows, bg, ba):
+        """Plain numpy preintegration (prediction only, no covariance)."""
+        from scipy.spatial.transform import Rotation
+        dR = np.eye(3)
+        dV = np.zeros(3)
+        dP = np.zeros(3)
+        dT = 0.0
+        for r in rows:
+            dt = float(r[0])
+            acc = r[1:4] - ba
+            gyr = r[4:7] - bg
+            a_w = dR @ acc
+            dP = dP + dV * dt + 0.5 * a_w * dt * dt
+            dV = dV + a_w * dt
+            dR = dR @ Rotation.from_rotvec(gyr * dt).as_matrix()
+            dT += dt
+        return dR, dV, dP, dT
+
+    def _predict_imu(self, T_last):
+        """Propagate the last body state across the frame interval."""
+        bg, ba = self.imu_bias[:3], self.imu_bias[3:]
+        dR, dV, dP, dT = self._integrate_np(self._imu_frame_rows, bg, ba)
+        R_wb = T_last[:3, :3].T          # camera == body (Tbc = I)
+        p_wb = -R_wb @ T_last[:3, 3]
+        g = self.gravity
+        R2 = R_wb @ dR
+        v2 = self.vel_w + g * dT + R_wb @ dV
+        p2 = p_wb + self.vel_w * dT + 0.5 * g * dT * dT + R_wb @ dP
+        T_pred = np.eye(4)
+        T_pred[:3, :3] = R2.T
+        T_pred[:3, 3] = -R2.T @ p2
+        return T_pred, v2
+
+    def _try_imu_init(self):
+        """Staged IMU initialization (ref LocalMapping::InitializeIMU,
+        src/LocalMapping.cc:1194: needs enough keyframes and baseline
+        time; gravity+bias MAP via ops/inertial_opt.inertial_init)."""
+        import jax
+        from ..ops import imu as imu_ops
+        from ..ops import inertial_opt
+        cfg = self.cfg
+        if (self.imu_initialized or not cfg.use_imu
+                or len(self._kf_imu_segments) < cfg.imu_init_kfs
+                or (self._kf_times[-1] - self._kf_times[0])
+                < cfg.imu_init_time):
+            return
+        K = len(self._kf_imu_segments) + 1
+        cap = max(int(max(len(seg) for seg in self._kf_imu_segments)), 8)
+        meas = np.zeros((K - 1, cap, 7), np.float32)
+        valid = np.zeros((K - 1, cap), bool)
+        for i, seg in enumerate(self._kf_imu_segments):
+            meas[i, :len(seg)] = seg
+            valid[i, :len(seg)] = True
+        sts = jax.vmap(
+            lambda m, v: imu_ops.integrate(
+                jnp.zeros(6), m, v, jnp.asarray(1e-3), jnp.asarray(1e-2),
+                jnp.asarray(1e-6), jnp.asarray(1e-4)))(
+            jnp.asarray(meas), jnp.asarray(valid))
+        kf_R_cw = np.asarray(self.ms.kf_R[:K])
+        kf_t_cw = np.asarray(self.ms.kf_t[:K])
+        R_wb = kf_R_cw.transpose(0, 2, 1)
+        p_wb = -np.einsum("kij,kj->ki", R_wb, kf_t_cw)
+        res = inertial_opt.inertial_init(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), sts,
+            prior_g=jnp.asarray(1e2), prior_a=jnp.asarray(1e5))
+        g_est = np.asarray(res.R_wg) @ np.array([0.0, 0.0, -9.81])
+        self.gravity = g_est.astype(np.float32)
+        self.imu_bias = np.concatenate(
+            [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
+        self.vel_w = np.asarray(res.vels[-1]).astype(np.float32)
+        self.imu_initialized = True
 
     def _refresh_ref_pose(self):
         packed = np.asarray(jnp.concatenate([

@@ -158,6 +158,48 @@ class BoxWorld:
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
 
 
+def make_imu(poses, frame_dt: float, imu_rate: int = 20, g=9.81):
+    """Synthesize body-frame IMU samples along a pose sequence.
+
+    poses: list of T_wc (camera==body). Returns per-frame-interval arrays
+    [(M,7) rows (dt, ax,ay,az, gx,gy,gz)] with gravity [0,0,-g] in world
+    (camera convention: y down => world -y is up, so g_world = (0,+g,0)?
+    We use the SLAM camera frame: x right, y down, z forward; gravity pulls
+    along +y in a level world)."""
+    from scipy.interpolate import CubicSpline
+    from scipy.spatial.transform import Rotation, Slerp
+    n = len(poses)
+    ts = np.arange(n) * frame_dt
+    ps = np.stack([T[:3, 3] for T in poses])
+    Rs = Rotation.from_matrix(np.stack([T[:3, :3] for T in poses]))
+    pos_sp = CubicSpline(ts, ps)
+    slerp = Slerp(ts, Rs)
+    g_w = np.array([0.0, g, 0.0])  # y-down camera/world convention
+
+    out = []
+    sub = max(int(round(imu_rate * frame_dt)), 2)
+    for i in range(1, n):
+        rows = []
+        tt = np.linspace(ts[i - 1], ts[i], sub + 1)
+        dt = tt[1] - tt[0]
+        for k in range(sub):
+            t = tt[k]
+            tm = np.clip(t, ts[0] + 1e-6, ts[-1] - 1e-6)
+            a_w = pos_sp(tm, 2)
+            R = slerp([tm])[0].as_matrix()
+            # gyro from relative rotation over dt
+            t2 = np.clip(tm + dt, ts[0] + 1e-6, ts[-1] - 1e-6)
+            R2 = slerp([t2])[0].as_matrix()
+            dRot = Rotation.from_matrix(R.T @ R2).as_rotvec()
+            omega = dRot / dt
+            # specific force: f = R^T (a_w - g_vec); at rest this reads
+            # (0,-g,0) in a level y-down body frame
+            acc_body = R.T @ (a_w - g_w)
+            rows.append([dt, *acc_body, *omega])
+        out.append(np.asarray(rows))
+    return out
+
+
 def make_trajectory(n_frames: int, pattern: str = "arc"):
     """Ground-truth camera-to-world poses."""
     from scipy.spatial.transform import Rotation

@@ -1,0 +1,57 @@
+"""Stereo-inertial system: IMU initialization fires, gravity is recovered,
+and tracking with IMU prediction survives the sequence."""
+import numpy as np
+import pytest
+
+from ms_slam_tpu.models.map_state import MapConfig
+from ms_slam_tpu.ops.orb import OrbConfig
+from ms_slam_tpu.pipeline.frontend import Calib
+from ms_slam_tpu.pipeline.system import System, SystemConfig
+from ms_slam_tpu.utils import synth
+from ms_slam_tpu.utils.evaluate import ate_rmse
+
+H, W, FX, BL = 240, 320, 260.0, 0.15
+K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+
+
+@pytest.mark.slow
+def test_stereo_inertial(rng):
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 40, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=64, max_mp=8192, n_feat=512,
+                      local_mp_cap=2048, window_kf=6),
+        min_init_depth_points=100, max_frames_between_kf=3,
+        use_imu=True, imu_init_kfs=6, imu_init_time=0.5)
+    slam = System(cfg)
+
+    world = synth.PlaneWorld(rng, z_wall=14.0, y_floor=2.0)
+    n_frames = 40
+    poses = synth.make_trajectory(n_frames, "arc")
+    frame_dt = 0.1
+    imu = synth.make_imu(poses, frame_dt, imu_rate=200)
+
+    est = []
+    for i, T_wc in enumerate(poses):
+        im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        if i == 0:
+            T_cw = slam.track_stereo(im_l, im_r, 0.0)
+        else:
+            T_cw = slam.track_stereo_imu(im_l, im_r, frame_dt * i,
+                                         imu[i - 1])
+        est.append(np.linalg.inv(T_cw))
+
+    assert slam.state == "OK"
+    assert slam.imu_initialized, (len(slam._kf_imu_segments))
+    # gravity should point along +y (camera-down world), magnitude ~9.81
+    g = slam.gravity
+    assert abs(np.linalg.norm(g) - 9.81) < 0.5, g
+    cos = g[1] / np.linalg.norm(g)
+    assert cos > 0.95, g
+
+    est_xyz = np.stack([T[:3, 3] for T in est])
+    gt_xyz = np.stack([T[:3, 3] for T in poses])
+    path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
+    rmse = ate_rmse(est_xyz, gt_xyz)
+    assert rmse < 0.02 * path, (rmse, path)
