@@ -117,17 +117,23 @@ def mp_obs_count(ms: MapState) -> jnp.ndarray:
     return jnp.zeros((M,), jnp.int32).at[sl].add(1, mode="drop")
 
 
+def member_table(ids: jnp.ndarray, M: int) -> jnp.ndarray:
+    """(M+1,) bool lookup table marking the given ids (invalid ids < 0
+    dropped). One scatter + one gather per query beats binary search on TPU
+    (searchsorted costs log(N) serial gathers per element)."""
+    tbl = jnp.zeros((M + 1,), bool)
+    return tbl.at[jnp.where(ids >= 0, ids, M)].set(True, mode="drop"
+                                                   ).at[M].set(False)
+
+
 def covisibility_counts(ms: MapState, q: jnp.ndarray) -> jnp.ndarray:
     """(K,) number of map points shared between keyframe q and every other
     keyframe (replaces KeyFrame::UpdateConnections counting,
-    /root/reference/src/KeyFrame.cc:483-). Sorted-membership formulation:
-    sort q's observed ids, then binary-search every other observation."""
-    ids_q = jnp.where(ms.obs_mp[q] >= 0, ms.obs_mp[q], jnp.iinfo(jnp.int32).max)
-    ids_q = jnp.sort(ids_q)
+    /root/reference/src/KeyFrame.cc:483-)."""
+    M = ms.mp_pos.shape[0]
+    tbl = member_table(ms.obs_mp[q], M)
     obs = ms.obs_mp  # (K,N)
-    pos = jnp.searchsorted(ids_q, obs)
-    pos = jnp.clip(pos, 0, ids_q.shape[0] - 1)
-    hit = (ids_q[pos] == obs) & (obs >= 0) & ms.kf_valid[:, None]
+    hit = tbl[jnp.clip(obs, 0, M)] & (obs >= 0) & ms.kf_valid[:, None]
     counts = jnp.sum(hit, axis=1).astype(jnp.int32)
     return counts.at[q].set(0)
 
@@ -138,14 +144,12 @@ def covisibility_matrix(ms: MapState) -> jnp.ndarray:
     covisibility graph, ref KeyFrame::GetConnectedKeyFrames). Row-scanned
     (lax.map) so memory stays O(K*N)."""
     K, N = ms.obs_mp.shape
-    big = jnp.iinfo(jnp.int32).max
+    M = ms.mp_pos.shape[0]
     obs = jnp.where(ms.kf_valid[:, None], ms.obs_mp, -1)
-    ids = jnp.sort(jnp.where(obs >= 0, obs, big), axis=1)  # (K,N)
 
     def row(i):
-        ids_i = ids[i]
-        pos = jnp.clip(jnp.searchsorted(ids_i, obs), 0, N - 1)
-        hit = (ids_i[pos] == obs) & (obs >= 0)
+        tbl = member_table(obs[i], M)
+        hit = tbl[jnp.clip(obs, 0, M)] & (obs >= 0)
         c = jnp.sum(hit, axis=1).astype(jnp.int32)
         return c.at[i].set(0)
 

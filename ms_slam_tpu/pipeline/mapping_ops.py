@@ -372,6 +372,28 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     # --- point culling ---
     ms, n_culled = _cull_impl(ms, kf_slot)
 
+    # --- keyframe culling (ref LocalMapping::KeyFrameCulling :925):
+    # window keyframes (not the new one, not slot 0) whose tracked points
+    # are overwhelmingly observed elsewhere are redundant ---
+    n_obs_all = M.mp_obs_count(ms)
+
+    def redundancy(k):
+        obs = ms.obs_mp[k]
+        has = obs >= 0
+        red = has & (n_obs_all[jnp.clip(obs, 0)] >= 4)
+        tot = jnp.sum(has)
+        return jnp.where(tot > 0, jnp.sum(red) / jnp.maximum(tot, 1), 0.0), \
+            tot
+
+    red_ratio, red_total = jax.vmap(redundancy)(win_idx)
+    kf_kill = (win_mask & (win_idx != kf_slot) & (win_idx != 0)
+               & (red_ratio > 0.9) & (red_total > 50))
+    kill_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+        jnp.where(kf_kill, win_idx, ms.kf_valid.shape[0])].set(
+        True, mode="drop")
+    ms = M.delete_keyframes(ms, kill_mask)
+    win_mask = win_mask & ~kf_kill
+
     info = jnp.concatenate([
         jnp.stack([mp_end - mp_base, outba.n_factors, outba.n_outliers,
                    n_culled]).astype(jnp.int32),

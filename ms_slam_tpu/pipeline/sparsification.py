@@ -48,6 +48,8 @@ def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
     Mc = ms.mp_pos.shape[0]
     Kc, N = ms.obs_mp.shape
     n_cells = grid_w * grid_h
+    # culled keyframes may still sit in the host queue; drop them here
+    win_mask = win_mask & ms.kf_valid[win_idx]
 
     # dense point set of the window
     pmask = M.local_map_mask(ms, win_idx, win_mask)

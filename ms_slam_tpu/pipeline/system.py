@@ -501,15 +501,28 @@ class System:
         f = frame.feats
         cands, _ = db.query_brute(self.ms.kp_desc, self.ms.kp_valid,
                                   f.desc, f.valid, k=5)
+        best = None
         for c in cands:
             out = to.track_by_appearance(
                 self.ms, self.calib, frame, jnp.asarray(c),
                 self.ms.kf_R[c], self.ms.kf_t[c])
-            if int(out.n_inliers) >= 20:
-                self.ref_kf = c
-                self.vel = None
-                return out
-        return None
+            n = int(out.n_inliers)
+            if n >= 15 and (best is None or n > best[0]):
+                best = (n, c, out)
+        if best is None:
+            return None
+        _, c, out = best
+        # refine: projection search around the PnP pose (ref Relocalization
+        # widening searches, src/Tracking.cc:3741-3800)
+        ref = to.track_points(
+            self.ms, self.calib, self.orb, frame, out.R, out.t,
+            jnp.clip(self.ms.obs_mp[c], 0), self.ms.obs_mp[c] >= 0,
+            jnp.asarray(10.0), jnp.asarray(0.9))
+        if int(ref.n_inliers) >= int(out.n_inliers):
+            out = ref
+        self.ref_kf = c
+        self.vel = None
+        return out
 
     # ------------------------------------------------------------------
     # local mapping stage (ref LocalMapping::Run body)

@@ -158,11 +158,10 @@ def local_keyframes(ms: M.MapState, matched_mp: jnp.ndarray, k: int):
     Tracking::UpdateLocalKeyFrames, src/Tracking.cc:3431).
 
     Returns (idx (k,), mask (k,))."""
-    ids = jnp.where(matched_mp >= 0, matched_mp, jnp.iinfo(jnp.int32).max)
-    ids = jnp.sort(ids)
+    Mc = ms.mp_pos.shape[0]
+    tbl = M.member_table(matched_mp, Mc)
     obs = ms.obs_mp
-    pos = jnp.clip(jnp.searchsorted(ids, obs), 0, ids.shape[0] - 1)
-    hit = (ids[pos] == obs) & (obs >= 0) & ms.kf_valid[:, None]
+    hit = tbl[jnp.clip(obs, 0, Mc)] & (obs >= 0) & ms.kf_valid[:, None]
     votes = jnp.sum(hit, axis=1)
     w, idx = jax.lax.top_k(votes, k)
     return idx, w > 0

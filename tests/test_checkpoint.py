@@ -37,9 +37,10 @@ def test_save_load_relocalize(rng):
     world = synth.BoxWorld(rng, half=7.0)
     poses = synth.make_trajectory(60, "orbit")[:30]
     slam = make()
+    est = []
     for i, T_wc in enumerate(poses):
         im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
-        slam.track_stereo(im_l, im_r, 0.1 * i)
+        est.append(slam.track_stereo(im_l, im_r, 0.1 * i).copy())
     assert slam.state == "OK"
     slam.shutdown()  # sparsifies everything -> populates the database
     n_mp = slam.map_points_in_map()
@@ -56,11 +57,19 @@ def test_save_load_relocalize(rng):
         assert slam2.keyframes_in_map() == n_kf
         assert slam2.state == "LOST"
 
-        # feed a frame from the mapped area: must relocalize
+        # feed a frame from the mapped area: must relocalize, then the
+        # next frame's local-map tracking refines the pose
         T_wc = poses[10]
         im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
         slam2.track_stereo(im_l, im_r, 100.0)
         assert slam2.state == "OK"
+        slam2.track_stereo(im_l, im_r, 100.1)
+        assert slam2.state == "OK"
+        # consistency with the original run's FINAL trajectory at that
+        # frame (the map carries drift vs ground truth, and live estimates
+        # predate later BA refinements; relocalization should agree with
+        # the final MAP)
+        final10 = [T for ts, T in slam.poses_wc()][10]
         err = np.linalg.norm(
-            np.linalg.inv(slam2.current_pose())[:3, 3] - T_wc[:3, 3])
-        assert err < 0.3, err
+            np.linalg.inv(slam2.current_pose())[:3, 3] - final10[:3, 3])
+        assert err < 0.15, err
