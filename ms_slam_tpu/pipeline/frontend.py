@@ -54,10 +54,23 @@ class FrameData(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def process_stereo_stacked(imgs: jnp.ndarray, calib: Calib,
+                           orb_cfg: orb.OrbConfig) -> FrameData:
+    """Stereo frontend taking a stacked (2,H,W) uint8 pair — one
+    host->device transfer (a tunneled upload costs a full round trip)."""
+    return _process_stereo_impl(imgs[0], imgs[1], calib, orb_cfg)
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
 def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
                    calib: Calib, orb_cfg: orb.OrbConfig) -> FrameData:
     """Extract ORB on both images and stereo-match (the per-frame hot path
     ahead of tracking)."""
+    return _process_stereo_impl(img_l, img_r, calib, orb_cfg)
+
+
+def _process_stereo_impl(img_l, img_r, calib: Calib,
+                         orb_cfg: orb.OrbConfig) -> FrameData:
     # images arrive uint8 (4x less host->device transfer) and are cast on
     # device
     img_l = img_l.astype(jnp.float32)

@@ -155,7 +155,10 @@ class LoopCloser:
         self.last_cand_group = group
         self.stats["verified"] += 1
         if self.consecutive >= CONSECUTIVE_NEEDED:
-            self._correct_loop(slot, *best[:3])
+            if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
+                self._merge_maps(slot, *best[:3])
+            else:
+                self._correct_loop(slot, *best[:3])
             self.consecutive = 0
             self.last_cand_group = set()
 
@@ -166,17 +169,45 @@ class LoopCloser:
         sys = self.sys
         ms = sys.ms
         self.stats["loops"] += 1
-        Rm, tm = np.asarray(ms.kf_R[match]), np.asarray(ms.kf_t[match])
-        Rc = R_cm @ Rm
-        tc = R_cm @ tm + t_cm
-
         # current covisible window (plus current)
         covis = np.array(M.covisibility_counts(ms, jnp.asarray(cur)))
         win = covis > 0
         win[cur] = True
-        sys.ms = ms = _apply_window_correction(
+        self._rigid_correct(cur, match, R_cm, t_cm, win)
+        self._fuse_and_optimize(cur, match)
+
+    def _merge_maps(self, cur: int, match: int, R_cm, t_cm):
+        """Weld the active map onto the matched keyframe's map (ref
+        LoopClosing::MergeLocal, src/LoopClosing.cc:1171): rigidly move
+        EVERY keyframe+point of the active map into the old map's frame,
+        relabel, fuse, and optimize the joint essential graph."""
+        sys = self.sys
+        self.stats["merges"] = self.stats.get("merges", 0) + 1
+        active = sys.kf_maps[cur]
+        target = sys.kf_maps[match]
+        win = np.asarray(
+            [i < len(sys.kf_maps) and sys.kf_maps[i] == active
+             for i in range(sys.ms.kf_valid.shape[0])])
+        self._rigid_correct(cur, match, R_cm, t_cm, win)
+        for i, m in enumerate(sys.kf_maps):
+            if m == active:
+                sys.kf_maps[i] = target
+        sys.active_map = target
+        self._fuse_and_optimize(cur, match)
+
+    def _rigid_correct(self, cur, match, R_cm, t_cm, win):
+        sys = self.sys
+        ms = sys.ms
+        Rm, tm = np.asarray(ms.kf_R[match]), np.asarray(ms.kf_t[match])
+        Rc = R_cm @ Rm
+        tc = R_cm @ tm + t_cm
+        sys.ms = _apply_window_correction(
             ms, jnp.asarray(win), jnp.asarray(Rc, jnp.float32),
             jnp.asarray(tc, jnp.float32), jnp.asarray(cur))
+
+    def _fuse_and_optimize(self, cur: int, match: int):
+        sys = self.sys
+        ms = sys.ms
 
         # fuse matched-side landmarks into the current keyframe
         from . import mapping_ops as mo
@@ -233,7 +264,7 @@ class LoopCloser:
             n_iters=10)
         ms = ms._replace(kf_R=res.R, kf_t=res.t)
         sys.ms = _reanchor_points(ms, old_R, old_t)
-        self.loop_edges.append((cur, match, R_cm, t_cm))
+        self.loop_edges.append((cur, match))
         # tracking must re-localize against the corrected map
         sys.vel = None
         sys.last_R = sys.ms.kf_R[cur]

@@ -99,6 +99,13 @@ class System:
         self.n_inliers_ref = 0
         self.trajectory: list[TrajectoryEntry] = []
         self.timing: dict[str, list] = {}
+        # multi-map atlas (ref Atlas, include/Atlas.h:58-114): map labels
+        # live host-side; the observation graph keeps maps disjoint on
+        # device. A fresh map starts after irrecoverable loss
+        # (Tracking::CreateMapInAtlas, src/Tracking.cc:2646).
+        self.active_map = 0
+        self.kf_maps: list[int] = []       # map id per keyframe slot
+        self._lost_frames = 0
         # inertial host state (ref Tracking IMU members)
         self.imu_initialized = False
         self.gravity = None                     # (3,) world gravity accel
@@ -129,10 +136,12 @@ class System:
         (ref System::TrackStereo, src/System.cc:192)."""
         self.frame_id += 1
         t0 = time.perf_counter()
-        img_l = np.clip(np.asarray(img_l), 0, 255).astype(np.uint8)
-        img_r = np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)
-        frame = process_stereo(jnp.asarray(img_l), jnp.asarray(img_r),
-                               self.calib, self.orb)
+        stacked = np.stack([
+            np.clip(np.asarray(img_l), 0, 255).astype(np.uint8),
+            np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)])
+        from .frontend import process_stereo_stacked
+        frame = process_stereo_stacked(jnp.asarray(stacked),
+                                       self.calib, self.orb)
         self._tic(t0, "frontend")
         return self._advance(frame, timestamp)
 
@@ -266,6 +275,7 @@ class System:
             jnp.asarray(normal, jnp.float32), jnp.asarray(mind, jnp.float32),
             jnp.asarray(maxd, jnp.float32), jnp.zeros(n_new, jnp.int32))
         self.n_kf = 2
+        self.kf_maps += [self.active_map, self.active_map]
         self.n_mp += n_new
         self.ref_kf = 1
         self.last_kf_frame = self.frame_id
@@ -362,6 +372,7 @@ class System:
             jnp.asarray(1e9))
         kf_slot = self.n_kf
         self.n_kf += 1
+        self.kf_maps.append(self.active_map)
         self.n_mp += int(n_new)
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
@@ -415,8 +426,19 @@ class System:
             if rl is None:
                 self.state = LOST
                 self.vel = None
+                self._lost_frames += 1
+                # irrecoverable: start a fresh map in the atlas (ref
+                # Tracking::CreateMapInAtlas) once enough frames failed
+                if (self._lost_frames > int(2 * self.calib.fps)
+                        and self.n_kf >= 5
+                        and self.n_kf < self.cfg.map.max_kf - 8):
+                    self.active_map += 1
+                    self.state = NOT_INITIALIZED
+                    self.last_matched = None
+                    self._lost_frames = 0
                 self._record(timestamp, lost=True)
                 return
+            self._lost_frames = 0
             out = rl
             n_inliers = int(rl.n_inliers)
             best_kf = self.ref_kf
@@ -425,6 +447,7 @@ class System:
             self._refresh_ref_pose()
 
         self.state = OK
+        self._lost_frames = 0
         # pose + velocity update (all host-side numpy, no device fetches)
         T_now = np.eye(4)
         T_now[:3, :3] = R_np
@@ -469,6 +492,7 @@ class System:
         info = np.asarray(ko.info)   # the one keyframe-path fetch
         self.n_mp += int(info[0]) + int(info[1])
         self.n_kf += 1
+        self.kf_maps.append(self.active_map)
         self.ref_kf = slot
         self.last_kf_frame = self.frame_id
         self.last_matched = self.ms.obs_mp[slot]
