@@ -68,6 +68,80 @@ def _factor_res_jac(model, params, bf, R_all, t_all, P_all,
     return res, Jc, Jp, Xc[..., 2]
 
 
+@partial(jax.jit, static_argnames=("model", "n_sweeps", "n_iters"))
+def ba_alternate(model: int, params: jnp.ndarray, bf: jnp.ndarray,
+                 kf_R: jnp.ndarray, kf_t: jnp.ndarray, cam_opt: jnp.ndarray,
+                 mp_pos: jnp.ndarray, pt_opt: jnp.ndarray,
+                 f_cam: jnp.ndarray, f_pt: jnp.ndarray, f_uv: jnp.ndarray,
+                 f_ur: jnp.ndarray, f_sigma2: jnp.ndarray,
+                 f_valid: jnp.ndarray,
+                 n_sweeps: int = 3, n_iters: int = 2, lam: float = 1e-3):
+    """Resection-intersection bundle adjustment: alternate point-only and
+    camera-only Gauss-Newton passes. Each pass needs only block-diagonal
+    Hessians (per-point 3x3 / per-camera 6x6 scatter-adds), so it scales to
+    the FULL map — the global-BA stage after loop closure
+    (ref Optimizer::GlobalBundleAdjustemnt, src/Optimizer.cc:51, where g2o
+    runs 10 joint iterations; alternation trades per-iteration progress for
+    O(map) memory and total parallelism)."""
+    C = kf_R.shape[0]
+    P = mp_pos.shape[0]
+    dt = kf_R.dtype
+    params = params.astype(dt)
+    bf = jnp.asarray(bf, dt)
+    is_stereo = f_ur >= 0.0
+    w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    def weights(res, z):
+        chi2 = jnp.sum(res * res, axis=-1) * w_info
+        return robust.huber_weight(chi2, hub_d2) * w_info * (z > 1e-2)
+
+    def point_pass(state, _):
+        R_all, t_all, P_all = state
+        res, _, Jp, z = _factor_res_jac(model, params, bf, R_all, t_all,
+                                        P_all, f_cam, f_pt, f_uv, f_ur,
+                                        is_stereo)
+        w = weights(res, z)
+        Jp = jnp.where(pt_opt[f_pt][:, None, None], Jp, 0.0)
+        JpW = Jp * w[:, None, None]
+        Hpp = jnp.zeros((P, 3, 3), dt).at[f_pt].add(
+            jnp.einsum("fij,fik->fjk", JpW, Jp))
+        bp = jnp.zeros((P, 3), dt).at[f_pt].add(
+            -jnp.einsum("fij,fi->fj", JpW, res))
+        Hpp = Hpp + lam * jax.vmap(
+            lambda h: jnp.diag(jnp.diag(h)))(Hpp) + 1e-8 * jnp.eye(3, dtype=dt)
+        dxp = jnp.linalg.solve(Hpp, bp[..., None])[..., 0] * pt_opt[:, None]
+        return (R_all, t_all, P_all + dxp), None
+
+    def cam_pass(state, _):
+        R_all, t_all, P_all = state
+        res, Jc, _, z = _factor_res_jac(model, params, bf, R_all, t_all,
+                                        P_all, f_cam, f_pt, f_uv, f_ur,
+                                        is_stereo)
+        w = weights(res, z)
+        Jc = jnp.where(cam_opt[f_cam][:, None, None], Jc, 0.0)
+        JcW = Jc * w[:, None, None]
+        Hcc = jnp.zeros((C, 6, 6), dt).at[f_cam].add(
+            jnp.einsum("fij,fik->fjk", JcW, Jc))
+        bc = jnp.zeros((C, 6), dt).at[f_cam].add(
+            -jnp.einsum("fij,fi->fj", JcW, res))
+        Hcc = Hcc + lam * jax.vmap(
+            lambda h: jnp.diag(jnp.diag(h)))(Hcc) + 1e-8 * jnp.eye(6, dtype=dt)
+        dxc = jnp.linalg.solve(Hcc, bc[..., None])[..., 0] * cam_opt[:, None]
+        dR, dtc = lie.se3_exp(dxc)
+        R_new, t_new = lie.se3_compose(dR, dtc, R_all, t_all)
+        return (lie.normalize_rotation(R_new), t_new, P_all), None
+
+    def sweep(state, _):
+        state, _ = jax.lax.scan(point_pass, state, None, length=n_iters)
+        state, _ = jax.lax.scan(cam_pass, state, None, length=n_iters)
+        return state, None
+
+    state, _ = jax.lax.scan(sweep, (kf_R, kf_t, mp_pos), None,
+                            length=n_sweeps)
+    return state
+
+
 @partial(jax.jit, static_argnames=("model", "n_iters"))
 def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
              kf_R: jnp.ndarray, kf_t: jnp.ndarray, cam_opt: jnp.ndarray,

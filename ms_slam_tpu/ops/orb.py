@@ -138,21 +138,23 @@ def fast_score(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
     densely for the whole image on the VPU.
     """
     c = img
-    diffs = []
-    for dy, dx in _FAST_CIRCLE:
-        diffs.append(jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1)) - c)
-    d = jnp.stack(diffs, axis=0)  # (16,H,W)
+    d = [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1)) - c
+         for dy, dx in _FAST_CIRCLE]
 
     def arc_scores(d16):
-        # windows of length 9 (circular): min over each window
-        mins = []
-        for w0 in range(16):
-            idx = [(w0 + j) % 16 for j in range(_ARC_LEN)]
-            mins.append(jnp.min(d16[jnp.array(idx)], axis=0))
-        return jnp.max(jnp.stack(mins, axis=0), axis=0)  # best window
+        # circular sliding-window minimum of length 9 by doubling:
+        # min2 -> min4 -> min8 -> min9; all static indexing (no gathers)
+        m = d16
+        for span in (1, 2, 4):
+            m = [jnp.minimum(m[i], m[(i + span) % 16]) for i in range(16)]
+        m9 = [jnp.minimum(m[i], d16[(i + 8) % 16]) for i in range(16)]
+        best = m9[0]
+        for i in range(1, 16):
+            best = jnp.maximum(best, m9[i])
+        return best
 
     bright = arc_scores(d)        # want all > th  -> score = min of window
-    dark = arc_scores(-d)
+    dark = arc_scores([-x for x in d])
     score = jnp.maximum(bright, dark)
     return jnp.where(score >= min_th, score, 0.0)
 
@@ -226,18 +228,30 @@ def _circular_offsets(radius: int):
     return ys[mask].astype(np.int32), xs[mask].astype(np.int32)
 
 
+@functools.lru_cache()
+def _moment_kernels(radius: int):
+    """31x31 x- and y-weighted circular-mask kernels for the intensity
+    centroid, as (2, 1, K, K) conv filters."""
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = (ys ** 2 + xs ** 2) <= radius ** 2
+    ky = (ys * mask).astype(np.float32)
+    kx = (xs * mask).astype(np.float32)
+    return np.stack([ky, kx])[:, None]  # (2,1,K,K)
+
+
 def compute_orientation(img: jnp.ndarray, yx: jnp.ndarray, cfg: OrbConfig):
     """Intensity-centroid angle per keypoint (ref IC_Angle in
-    ORBextractor.cc). yx: (N,2) int32 on this level."""
-    oy, ox = _circular_offsets(cfg.patch_radius)
-    oy = jnp.asarray(oy)
-    ox = jnp.asarray(ox)
+    ORBextractor.cc). Dense formulation: the patch moments m01/m10 are two
+    31x31 convolutions over the whole level (XLA convs run on the MXU),
+    then one gather per keypoint — far cheaper on TPU than K~700 random
+    gathers per keypoint."""
+    k = jnp.asarray(_moment_kernels(cfg.patch_radius))   # (2,1,K,K)
     h, w = img.shape
-    py = jnp.clip(yx[:, 0:1] + oy[None, :], 0, h - 1)   # (N,K)
-    px = jnp.clip(yx[:, 1:2] + ox[None, :], 0, w - 1)
-    vals = img[py, px]                                   # (N,K) gather
-    m01 = jnp.sum(vals * oy[None, :].astype(img.dtype), axis=1)
-    m10 = jnp.sum(vals * ox[None, :].astype(img.dtype), axis=1)
+    mom = jax.lax.conv_general_dilated(
+        img[None, None], k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]    # (2,H,W)
+    m01 = mom[0][yx[:, 0], yx[:, 1]]
+    m10 = mom[1][yx[:, 0], yx[:, 1]]
     return jnp.arctan2(m01, m10)
 
 
@@ -293,6 +307,168 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
     return bits.reshape(n, 256).astype(jnp.bool_)
+
+
+# ---------------------------------------------------------------------------
+# Batched (padded level stack) extraction — the TPU hot path. All levels are
+# padded into one (L,H,W) tensor so every stage is ONE kernel set instead of
+# an 8x sequence of small per-level programs, and orientation/descriptor
+# lookups become a single gather over the stack.
+# ---------------------------------------------------------------------------
+
+def build_pyramid_stack(img: jnp.ndarray, cfg: OrbConfig):
+    """(H,W) -> (L,H,W) padded stack (level l occupies [:h_l,:w_l])."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, cfg)
+    levels = [img]
+    for (lh, lw) in shapes[1:]:
+        levels.append(jax.image.resize(img, (lh, lw), method="bilinear"))
+    stack = jnp.stack([
+        jnp.pad(l, ((0, h - l.shape[0]), (0, w - l.shape[1])))
+        for l in levels])
+    return stack, shapes
+
+
+@functools.lru_cache()
+def _level_masks(h: int, w: int, cfg: OrbConfig):
+    """Static (L,H,W) in-bounds masks (borders excluded per level)."""
+    shapes = pyramid_shapes(h, w, cfg)
+    e = cfg.edge
+    m = np.zeros((cfg.n_levels, h, w), bool)
+    for l, (lh, lw) in enumerate(shapes):
+        m[l, e:lh - e, e:lw - e] = True
+    return m
+
+
+def detect_stack(stack: jnp.ndarray, cfg: OrbConfig):
+    """All-level detection on the padded stack. Returns per-level-quota
+    concatenated (N,) arrays: level, y, x, score, valid."""
+    L, h, w = stack.shape
+    score = fast_score_batched(stack, cfg.min_th)
+    inb = jnp.asarray(_level_masks(h, w, cfg))
+    score = jnp.where(inb, score, 0.0)
+    m = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (1, 3, 3),
+                              (1, 1, 1), "SAME")
+    score = jnp.where(score >= m, score, 0.0)
+    BONUS = 1e4
+    rank = jnp.where(score >= cfg.ini_th, score + BONUS, score)
+
+    cs = cfg.cell_size
+    gh, gw = -(-h // cs), -(-w // cs)
+    pad_h, pad_w = gh * cs - h, gw * cs - w
+    rpad = jnp.pad(rank, ((0, 0), (0, pad_h), (0, pad_w)))
+    cells = rpad.reshape(L, gh, cs, gw, cs).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(L * gh * gw, cs * cs)
+    k = min(cfg.cell_top_k, cs * cs)
+    top_v, top_i = jax.lax.top_k(cells, k)          # (L*gh*gw, k)
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (L * gh * gw, k), 0)
+    lvl = cell_ids // (gh * gw)
+    rem = cell_ids % (gh * gw)
+    cy = (rem // gw) * cs + top_i // cs
+    cx = (rem % gw) * cs + top_i % cs
+    # per-level top-quota (quotas differ per level; each level's candidate
+    # rows are contiguous)
+    per_lvl = gh * gw * k
+    cand_v = top_v.reshape(L, per_lvl)
+    cand_y = cy.reshape(L, per_lvl)
+    cand_x = cx.reshape(L, per_lvl)
+    del lvl
+    ys, xs, lv, sc, va = [], [], [], [], []
+    for l, quota in enumerate(cfg.level_quotas()):
+        v, i = jax.lax.top_k(cand_v[l], min(quota, per_lvl))
+        if quota > per_lvl:
+            pad = quota - per_lvl
+            v = jnp.pad(v, (0, pad))
+            i = jnp.pad(i, (0, pad))
+        ys.append(cand_y[l][i])
+        xs.append(cand_x[l][i])
+        lv.append(jnp.full((quota,), l, jnp.int32))
+        sc.append(jnp.where(v >= 1e4, v - 1e4, v))
+        va.append(v > 0.0)
+    return (jnp.concatenate(lv), jnp.concatenate(ys), jnp.concatenate(xs),
+            jnp.concatenate(sc), jnp.concatenate(va))
+
+
+def fast_score_batched(stack: jnp.ndarray, min_th: float) -> jnp.ndarray:
+    """fast_score on a (L,H,W) stack (rolls act on the last two axes)."""
+    d = [jnp.roll(stack, shift=(-int(dy), -int(dx)), axis=(1, 2)) - stack
+         for dy, dx in _FAST_CIRCLE]
+
+    def arc_scores(d16):
+        m = d16
+        for span in (1, 2, 4):
+            m = [jnp.minimum(m[i], m[(i + span) % 16]) for i in range(16)]
+        m9 = [jnp.minimum(m[i], d16[(i + 8) % 16]) for i in range(16)]
+        best = m9[0]
+        for i in range(1, 16):
+            best = jnp.maximum(best, m9[i])
+        return best
+
+    bright = arc_scores(d)
+    dark = arc_scores([-x for x in d])
+    score = jnp.maximum(bright, dark)
+    return jnp.where(score >= min_th, score, 0.0)
+
+
+def gaussian_blur7_batched(stack: jnp.ndarray) -> jnp.ndarray:
+    x = np.arange(-3, 4)
+    kk = np.exp(-x * x / (2 * 2.0 ** 2))
+    kk = (kk / kk.sum()).astype(np.float32)
+    kj = jnp.asarray(kk)
+    pad = jnp.pad(stack, ((0, 0), (3, 3), (0, 0)), mode="edge")
+    stack = sum(kj[i] * pad[:, i:i + stack.shape[1], :] for i in range(7))
+    pad = jnp.pad(stack, ((0, 0), (0, 0), (3, 3)), mode="edge")
+    return sum(kj[i] * pad[:, :, i:i + stack.shape[2]] for i in range(7))
+
+
+def extract_stack(img: jnp.ndarray, cfg: OrbConfig):
+    """Batched full extraction. Returns (Features, stack, blur_stack) —
+    stacks are reused by the stereo matcher."""
+    stack, shapes = build_pyramid_stack(img, cfg)
+    lv, ys, xs, sc, va = detect_stack(stack, cfg)
+
+    # orientation: batched moment convs + one gather
+    k = jnp.asarray(_moment_kernels(cfg.patch_radius))   # (2,1,K,K)
+    mom = jax.lax.conv_general_dilated(
+        stack[:, None], k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))       # (L,2,H,W)
+    m01 = mom[lv, 0, ys, xs]
+    m10 = mom[lv, 1, ys, xs]
+    ang = jnp.arctan2(m01, m10)
+
+    blur = gaussian_blur7_batched(stack)
+    desc = compute_descriptors_stack(blur, lv, ys, xs, ang)
+
+    scales = jnp.asarray(cfg.level_scales(), jnp.float32)
+    xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)],
+                    axis=-1) * scales[lv][:, None]
+    feats = Features(xy=xy0, response=sc, angle=ang, octave=lv, desc=desc,
+                     valid=va)
+    return feats, stack, blur
+
+
+def compute_descriptors_stack(blur: jnp.ndarray, lv, ys, xs,
+                              angle: jnp.ndarray) -> jnp.ndarray:
+    """Steered BRIEF over the padded stack: a single two-gather pass for
+    every keypoint of every level."""
+    pat = jnp.asarray(_brief_pattern())                   # (256,4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    L, h, w = blur.shape
+
+    def rot(dy, dx):
+        ry = jnp.round(dx[None, :] * sa[:, None] + dy[None, :] * ca[:, None])
+        rx = jnp.round(dx[None, :] * ca[:, None] - dy[None, :] * sa[:, None])
+        return ry.astype(jnp.int32), rx.astype(jnp.int32)
+
+    r1y, r1x = rot(pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32))
+    r2y, r2x = rot(pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
+    p1y = jnp.clip(ys[:, None] + r1y, 0, h - 1)
+    p1x = jnp.clip(xs[:, None] + r1x, 0, w - 1)
+    p2y = jnp.clip(ys[:, None] + r2y, 0, h - 1)
+    p2x = jnp.clip(xs[:, None] + r2x, 0, w - 1)
+    lvb = lv[:, None]
+    bits = blur[lvb, p1y, p1x] < blur[lvb, p2y, p2x]
+    return pack_bits(bits)
 
 
 # ---------------------------------------------------------------------------

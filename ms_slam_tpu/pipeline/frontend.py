@@ -72,15 +72,13 @@ def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
 def _process_stereo_impl(img_l, img_r, calib: Calib,
                          orb_cfg: orb.OrbConfig) -> FrameData:
     # images arrive uint8 (4x less host->device transfer) and are cast on
-    # device
+    # device; extraction runs on padded level stacks (batched kernels)
     img_l = img_l.astype(jnp.float32)
     img_r = img_r.astype(jnp.float32)
-    pyr_l = orb.build_pyramid(img_l, orb_cfg)
-    pyr_r = orb.build_pyramid(img_r, orb_cfg)
-    feats_l = orb.extract_from_pyramid(pyr_l, orb_cfg)
-    feats_r = orb.extract_from_pyramid(pyr_r, orb_cfg)
-    sm = stereo.match_stereo(feats_l, feats_r, pyr_l, pyr_r,
-                             calib.bf, calib.min_z, orb_cfg)
+    feats_l, stack_l, _ = orb.extract_stack(img_l, orb_cfg)
+    feats_r, stack_r, _ = orb.extract_stack(img_r, orb_cfg)
+    sm = stereo.match_stereo_stack(feats_l, feats_r, stack_l, stack_r,
+                                   calib.bf, calib.min_z, orb_cfg)
     scale2 = jnp.asarray(
         [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
     sigma2 = scale2[feats_l.octave]
@@ -95,7 +93,7 @@ def process_rgbd(img: jnp.ndarray, depth_map: jnp.ndarray,
     from the registered depth map and synthesizes a virtual right coordinate
     uR = u - bf/d (ref Frame::ComputeStereoFromRGBD, src/Frame.cc)."""
     img = img.astype(jnp.float32)
-    feats = orb.extract(img, orb_cfg)
+    feats, _, _ = orb.extract_stack(img, orb_cfg)
     h, w = depth_map.shape
     ui = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
@@ -116,7 +114,7 @@ def process_mono(img: jnp.ndarray, calib: Calib,
     """Monocular frame: features only, no depth (ref the monocular Frame
     ctor, include/Frame.h:70)."""
     img = img.astype(jnp.float32)
-    feats = orb.extract(img, orb_cfg)
+    feats, _, _ = orb.extract_stack(img, orb_cfg)
     n = feats.xy.shape[0]
     scale2 = jnp.asarray(
         [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)

@@ -264,8 +264,14 @@ class LoopCloser:
             n_iters=10)
         ms = ms._replace(kf_R=res.R, kf_t=res.t)
         sys.ms = _reanchor_points(ms, old_R, old_t)
+        # global refinement (ref RunGlobalBundleAdjustment): alternating
+        # whole-map BA anchored at the matched keyframe
+        from . import mapping_ops as mo
+        sys.ms = mo.global_ba(sys.ms, sys.calib, sys.orb,
+                              jnp.asarray(match), n_sweeps=2)
         self.loop_edges.append((cur, match))
         # tracking must re-localize against the corrected map
         sys.vel = None
-        sys.last_R = sys.ms.kf_R[cur]
-        sys.last_t = sys.ms.kf_t[cur]
+        sys.last_R = np.asarray(sys.ms.kf_R[cur])
+        sys.last_t = np.asarray(sys.ms.kf_t[cur])
+        sys._refresh_ref_pose()

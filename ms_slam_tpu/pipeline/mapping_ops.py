@@ -440,6 +440,33 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     return KeyframeStepOut(ms=ms, info=info)
 
 
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_sweeps"),
+         donate_argnames=("ms",))
+def global_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+              fixed_kf: jnp.ndarray, n_sweeps: int = 3) -> M.MapState:
+    """Whole-map refinement after loop closure / merge (ref
+    Optimizer::GlobalBundleAdjustemnt via RunGlobalBundleAdjustment,
+    src/LoopClosing.cc:2212): alternating resection-intersection over the
+    full factor table (every observation of every valid keyframe), anchor
+    keyframe fixed."""
+    params = calib.params_array()
+    K, N = ms.obs_mp.shape
+    obs = ms.obs_mp
+    f_valid = (obs >= 0) & ms.kf_valid[:, None] & ms.kp_valid
+    f_cam = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
+    s2 = _scale2(orb_cfg)
+    cam_opt = ms.kf_valid & (jnp.arange(K) != fixed_kf)
+    R_n, t_n, P_n = ba.ba_alternate(
+        calib.model, params, jnp.asarray(calib.bf),
+        ms.kf_R, ms.kf_t, cam_opt,
+        ms.mp_pos, ms.mp_valid,
+        f_cam.reshape(-1), jnp.clip(obs, 0).reshape(-1),
+        ms.kp_xy.reshape(K * N, 2), ms.kp_uright.reshape(-1),
+        s2[ms.kp_octave].reshape(-1), f_valid.reshape(-1),
+        n_sweeps=n_sweeps)
+    return ms._replace(kf_R=R_n, kf_t=t_n, mp_pos=P_n)
+
+
 # ---------------------------------------------------------------------------
 # Map point culling
 # ---------------------------------------------------------------------------
