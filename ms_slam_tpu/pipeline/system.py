@@ -339,6 +339,24 @@ class System:
                 row = Twc[:3].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory (ref System::SaveKeyFrameTrajectoryTUM/
+        EuRoC, src/System.cc:762-)."""
+        from ..ops.lie import rot_to_quat
+        kf_valid = np.asarray(self.ms.kf_valid)
+        R = np.asarray(self.ms.kf_R)
+        t = np.asarray(self.ms.kf_t)
+        frame_ids = np.asarray(self.ms.kf_frame_id)
+        ts_by_frame = {e.frame_id: e.timestamp for e in self.trajectory}
+        with open(path, "w") as f:
+            for k in np.where(kf_valid)[0]:
+                Rwc = R[k].T
+                twc = -Rwc @ t[k]
+                q = np.asarray(rot_to_quat(jnp.asarray(Rwc)))
+                ts = ts_by_frame.get(int(frame_ids[k]), 0.0)
+                f.write(f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
     def save_trajectory_tum(self, path: str):
         from ..ops.lie import rot_to_quat
         with open(path, "w") as f:
