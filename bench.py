@@ -66,7 +66,9 @@ def main():
     t0 = time.time()
     n_meas = 0
     for i in range(3, n_frames):
-        slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i)
+        nxt = frames[i + 1] if i + 1 < n_frames else None
+        slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i,
+                          next_images=nxt)
         n_meas += 1
     dt = time.time() - t0
     fps = n_meas / dt

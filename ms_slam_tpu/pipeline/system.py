@@ -131,19 +131,45 @@ class System:
     # public API
     # ------------------------------------------------------------------
 
-    def track_stereo(self, img_l, img_r, timestamp: float) -> np.ndarray:
+    _prefetched_frame = None
+
+    def track_stereo(self, img_l, img_r, timestamp: float,
+                     next_images=None) -> np.ndarray:
         """Process one rectified stereo pair; returns estimated Tcw (4,4)
-        (ref System::TrackStereo, src/System.cc:192)."""
+        (ref System::TrackStereo, src/System.cc:192).
+
+        next_images: optional (img_l, img_r) of the NEXT frame — its
+        frontend is dispatched before this frame's blocking stats fetch, so
+        the device crunches it during the host's fetch round trip (one-frame
+        software pipeline; the reference gets overlap from its threads)."""
         self.frame_id += 1
         t0 = time.perf_counter()
+        if self._prefetched_frame is not None:
+            frame = self._prefetched_frame
+            self._prefetched_frame = None
+        else:
+            frame = self._dispatch_frontend(img_l, img_r)
+        self._tic(t0, "frontend")
+        self._next_images = next_images
+        out = self._advance(frame, timestamp)
+        self._next_images = None
+        return out
+
+    def _dispatch_frontend(self, img_l, img_r):
+        from .frontend import process_stereo_stacked
         stacked = np.stack([
             np.clip(np.asarray(img_l), 0, 255).astype(np.uint8),
             np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)])
-        from .frontend import process_stereo_stacked
-        frame = process_stereo_stacked(jnp.asarray(stacked),
-                                       self.calib, self.orb)
-        self._tic(t0, "frontend")
-        return self._advance(frame, timestamp)
+        return process_stereo_stacked(jnp.asarray(stacked),
+                                      self.calib, self.orb)
+
+    _next_images = None
+
+    def _prefetch_next(self):
+        """Called between the track dispatch and its fetch."""
+        if self._next_images is not None and self._prefetched_frame is None:
+            self._prefetched_frame = self._dispatch_frontend(
+                *self._next_images)
 
     def track_stereo_imu(self, img_l, img_r, timestamp: float,
                          imu_rows) -> np.ndarray:
@@ -430,6 +456,7 @@ class System:
             jnp.asarray(T_last[:3, 3], jnp.float32),
             last_matched, jnp.asarray(self.ref_kf),
             cfg.map.local_mp_cap)
+        self._prefetch_next()           # overlap next frontend with the RTT
         packed = np.asarray(out.stats)  # the one per-frame fetch
         R_np = packed[:9].reshape(3, 3).astype(np.float32)
         t_np = packed[9:12].astype(np.float32)
