@@ -340,12 +340,16 @@ def _level_masks(h: int, w: int, cfg: OrbConfig):
     return m
 
 
-def detect_stack(stack: jnp.ndarray, cfg: OrbConfig):
-    """All-level detection on the padded stack. Returns per-level-quota
-    concatenated (N,) arrays: level, y, x, score, valid."""
+def detect_stack(stack: jnp.ndarray, cfg: OrbConfig, n_images: int = 1):
+    """All-level detection on the padded stack (optionally several images'
+    stacks concatenated on the leading axis). Returns per-level-quota
+    concatenated (n_images*N,) arrays indexed into the big stack:
+    stack-slice index, y, x, score, valid."""
     L, h, w = stack.shape
     score = fast_score_batched(stack, cfg.min_th)
     inb = jnp.asarray(_level_masks(h, w, cfg))
+    if n_images > 1:
+        inb = jnp.tile(inb, (n_images, 1, 1))
     score = jnp.where(inb, score, 0.0)
     m = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (1, 3, 3),
                               (1, 1, 1), "SAME")
@@ -374,7 +378,8 @@ def detect_stack(stack: jnp.ndarray, cfg: OrbConfig):
     cand_x = cx.reshape(L, per_lvl)
     del lvl
     ys, xs, lv, sc, va = [], [], [], [], []
-    for l, quota in enumerate(cfg.level_quotas()):
+    quotas = cfg.level_quotas() * n_images
+    for l, quota in enumerate(quotas):
         v, i = jax.lax.top_k(cand_v[l], min(quota, per_lvl))
         if quota > per_lvl:
             pad = quota - per_lvl
@@ -424,27 +429,62 @@ def gaussian_blur7_batched(stack: jnp.ndarray) -> jnp.ndarray:
 def extract_stack(img: jnp.ndarray, cfg: OrbConfig):
     """Batched full extraction. Returns (Features, stack, blur_stack) —
     stacks are reused by the stereo matcher."""
-    stack, shapes = build_pyramid_stack(img, cfg)
-    lv, ys, xs, sc, va = detect_stack(stack, cfg)
+    feats, stacks, blurs = extract_stack_multi(img[None], cfg)
+    return (jax.tree.map(lambda a: a[0], feats), stacks[0], blurs[0])
 
-    # orientation: batched moment convs + one gather
-    k = jnp.asarray(_moment_kernels(cfg.patch_radius))   # (2,1,K,K)
-    mom = jax.lax.conv_general_dilated(
-        stack[:, None], k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))       # (L,2,H,W)
-    m01 = mom[lv, 0, ys, xs]
-    m10 = mom[lv, 1, ys, xs]
+
+def extract_stack_multi(imgs: jnp.ndarray, cfg: OrbConfig):
+    """Extraction for B images at once on one (B*L,H,W) stack: every
+    stage (FAST, NMS, top-k, orientation, blur, BRIEF) runs as a single
+    kernel set for the whole batch (e.g. both stereo images).
+
+    Returns (Features batched (B,...), stacks (B,L,H,W), blurs)."""
+    B = imgs.shape[0]
+    L = cfg.n_levels
+    stack, shapes = build_pyramid_stack_multi(imgs, cfg)
+    lv, ys, xs, sc, va = detect_stack(stack, cfg, n_images=B)
+
+    # orientation: circular-patch moment gathers over the stack (one pass
+    # for every keypoint of every level; a dense moment conv is slower here
+    # because XLA refuses the fast conv path when its input is fused)
+    oy, ox = _circular_offsets(cfg.patch_radius)
+    oy = jnp.asarray(oy)
+    ox = jnp.asarray(ox)
+    h, w = imgs.shape[1:]
+    py = jnp.clip(ys[:, None] + oy[None, :], 0, h - 1)
+    px = jnp.clip(xs[:, None] + ox[None, :], 0, w - 1)
+    vals = stack[lv[:, None], py, px]
+    m01 = jnp.sum(vals * oy[None, :].astype(stack.dtype), axis=1)
+    m10 = jnp.sum(vals * ox[None, :].astype(stack.dtype), axis=1)
     ang = jnp.arctan2(m01, m10)
 
     blur = gaussian_blur7_batched(stack)
     desc = compute_descriptors_stack(blur, lv, ys, xs, ang)
 
+    octave = lv % L
     scales = jnp.asarray(cfg.level_scales(), jnp.float32)
     xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)],
-                    axis=-1) * scales[lv][:, None]
-    feats = Features(xy=xy0, response=sc, angle=ang, octave=lv, desc=desc,
-                     valid=va)
-    return feats, stack, blur
+                    axis=-1) * scales[octave][:, None]
+    n = cfg.n_features
+    feats = Features(
+        xy=xy0.reshape(B, n, 2), response=sc.reshape(B, n),
+        angle=ang.reshape(B, n), octave=octave.reshape(B, n),
+        desc=desc.reshape(B, n, 8), valid=va.reshape(B, n))
+    return feats, stack.reshape(B, L, *stack.shape[1:]), \
+        blur.reshape(B, L, *blur.shape[1:])
+
+
+def build_pyramid_stack_multi(imgs: jnp.ndarray, cfg: OrbConfig):
+    """(B,H,W) -> (B*L,H,W) padded stacks (image-major)."""
+    B, h, w = imgs.shape
+    shapes = pyramid_shapes(h, w, cfg)
+    levels = [imgs]
+    for (lh, lw) in shapes[1:]:
+        levels.append(jax.image.resize(imgs, (B, lh, lw), method="bilinear"))
+    stack = jnp.stack([
+        jnp.pad(l, ((0, 0), (0, h - l.shape[1]), (0, w - l.shape[2])))
+        for l in levels], axis=1)                  # (B,L,H,W)
+    return stack.reshape(B * cfg.n_levels, h, w), shapes
 
 
 def compute_descriptors_stack(blur: jnp.ndarray, lv, ys, xs,

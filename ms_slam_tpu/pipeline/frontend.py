@@ -72,12 +72,12 @@ def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
 def _process_stereo_impl(img_l, img_r, calib: Calib,
                          orb_cfg: orb.OrbConfig) -> FrameData:
     # images arrive uint8 (4x less host->device transfer) and are cast on
-    # device; extraction runs on padded level stacks (batched kernels)
-    img_l = img_l.astype(jnp.float32)
-    img_r = img_r.astype(jnp.float32)
-    feats_l, stack_l, _ = orb.extract_stack(img_l, orb_cfg)
-    feats_r, stack_r, _ = orb.extract_stack(img_r, orb_cfg)
-    sm = stereo.match_stereo_stack(feats_l, feats_r, stack_l, stack_r,
+    # device; BOTH images' pyramids extract in one (2L,H,W) batched stack
+    imgs = jnp.stack([img_l, img_r]).astype(jnp.float32)
+    featsB, stacks, _ = orb.extract_stack_multi(imgs, orb_cfg)
+    feats_l = jax.tree.map(lambda a: a[0], featsB)
+    feats_r = jax.tree.map(lambda a: a[1], featsB)
+    sm = stereo.match_stereo_stack(feats_l, feats_r, stacks[0], stacks[1],
                                    calib.bf, calib.min_z, orb_cfg)
     scale2 = jnp.asarray(
         [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
