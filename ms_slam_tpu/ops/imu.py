@@ -187,7 +187,23 @@ def inertial_residual(st: PreintState,
 
 def information(st: PreintState) -> jnp.ndarray:
     """9x9 information of the preintegration factor (inverse of the
-    propagated covariance, symmetrized like the reference)."""
+    propagated covariance, symmetrized like the reference).
+
+    Regularization is RELATIVE to the covariance scale so the f32 inverse
+    stays positive definite (tiny-noise covariances are ~1e-8; an absolute
+    epsilon is invisible and the inverse can go indefinite, NaN-ing any
+    downstream Cholesky)."""
     C = st.C[:9, :9]
-    C = 0.5 * (C + C.T) + 1e-12 * jnp.eye(9, dtype=C.dtype)
-    return jnp.linalg.inv(C)
+    C = 0.5 * (C + C.T)
+    eps = 1e-4 * jnp.maximum(jnp.trace(C) / 9.0, 1e-12)
+    C = C + eps * jnp.eye(9, dtype=C.dtype)
+    info = jnp.linalg.inv(C)
+    return 0.5 * (info + info.T)
+
+
+def sqrt_information(st: PreintState) -> jnp.ndarray:
+    """Cholesky factor L (info = L L^T) with relative jitter; use L.T as
+    the residual whitener."""
+    info = information(st)
+    jit = 1e-6 * jnp.maximum(jnp.trace(info) / 9.0, 1e-12)
+    return jnp.linalg.cholesky(info + jit * jnp.eye(9, dtype=info.dtype))

@@ -61,7 +61,7 @@ def pose_vel_bias_optimize(
     dt = R2.dtype
     is_stereo = u_right >= 0.0
     w_info = 1.0 / jnp.maximum(sigma2, 1e-12)
-    info9 = imu.information(preint)
+    L9 = imu.sqrt_information(preint)
 
     def unpack(x):
         # additive position / left-multiplicative rotation parameterization
@@ -91,9 +91,7 @@ def pose_vel_bias_optimize(
         rv, _ = visual_res(R, p)
         rv = rv * jnp.sqrt(vis_w)[:, None]
         ri = imu.inertial_residual(preint, R1, v1, p1, R, v, p, bg, ba)
-        # whiten with sqrt info (Cholesky)
-        L = jnp.linalg.cholesky(info9 + 1e-9 * jnp.eye(9, dtype=dt))
-        ri_w = L.T @ ri
+        ri_w = L9.T @ ri
         rb = jnp.concatenate([bg - bg1, ba - ba1]) * jnp.sqrt(walk_info)
         return jnp.concatenate([rv.reshape(-1), ri_w, rb])
 
@@ -128,6 +126,115 @@ def pose_vel_bias_optimize(
     R, p, v, bg, ba = unpack(x)
     return PVBResult(R_wb=R, p_wb=p, v=v, bg=bg, ba=ba, inlier=inlier,
                      n_inliers=jnp.sum(inlier).astype(jnp.int32))
+
+
+class WindowRefineResult(NamedTuple):
+    R_wb: jnp.ndarray    # (W,3,3)
+    p_wb: jnp.ndarray    # (W,3)
+    vels: jnp.ndarray    # (W,3)
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("model", "n_iters"))
+def inertial_window_refine(
+    model: int, params: jnp.ndarray, bf: jnp.ndarray,
+    R_wb: jnp.ndarray, p_wb: jnp.ndarray, vels: jnp.ndarray,
+    kf_mask: jnp.ndarray,
+    preints: imu.PreintState,            # (W-1,) stacked, interval i->i+1
+    preint_valid: jnp.ndarray,           # (W-1,)
+    bg0: jnp.ndarray, ba0: jnp.ndarray, g: jnp.ndarray,
+    X: jnp.ndarray, f_kf: jnp.ndarray, f_uv: jnp.ndarray,
+    f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
+    walk_info: jnp.ndarray, n_iters: int = 5,
+) -> WindowRefineResult:
+    """The inertial half of LocalInertialBA (ref Optimizer::LocalInertialBA,
+    /root/reference/src/Optimizer.cc:2431): jointly refine the window
+    keyframes' poses, velocities, and a shared bias against (fixed)
+    landmarks + the preintegration chain. Landmark refinement is done by the
+    preceding visual window BA; this pass adds the inertial constraints the
+    visual solver cannot express. The oldest window keyframe is the gauge
+    anchor (pose prior).
+
+    State dim = 9W + 6 (W<=10), so jacfwd + one dense solve per iteration.
+    f_kf indexes into the window (0..W-1); camera == body frame assumed
+    here (Tbc support at the tracking level).
+    """
+    W = R_wb.shape[0]
+    dt = R_wb.dtype
+    is_stereo = f_ur >= 0.0
+    w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    def unpack(x):
+        d = x[:9 * W].reshape(W, 9)
+        p = p_wb + d[:, :3]
+        R = lie.normalize_rotation(lie.so3_exp(d[:, 3:6]) @ R_wb)
+        v = vels + d[:, 6:9]
+        bg = bg0 + x[9 * W:9 * W + 3]
+        ba = ba0 + x[9 * W + 3:]
+        return R, p, v, bg, ba
+
+    def visual_raw(x):
+        R, p, v, bg, ba = unpack(x)
+        Rk = R[f_kf]
+        pk = p[f_kf]
+        R_cw = jnp.swapaxes(Rk, -1, -2)
+        t_cw = -jnp.einsum("fij,fj->fi", R_cw, pk)
+        Xc = jnp.einsum("fij,fj->fi", R_cw, X) + t_cw
+        uvp = cameras.project(model, params, Xc)
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        urp = uvp[..., 0] - bf / z
+        r2 = f_uv - uvp
+        r3 = jnp.where(is_stereo, f_ur - urp, 0.0)
+        rv = jnp.concatenate([r2, r3[..., None]], -1)
+        return rv, Xc[..., 2]
+
+    def residuals(x, sw):
+        # sw: per-factor sqrt-weights, CONSTANT wrt x (IRLS) — computing
+        # them inside the differentiated path puts sqrt(0) tangents (NaN)
+        # on every masked factor
+        R, p, v, bg, ba = unpack(x)
+        rv, _ = visual_raw(x)
+        rv = rv * sw[:, None]
+
+        # inertial chain
+        def one(i):
+            st = jax.tree.map(lambda a: a[i], preints)
+            r = imu.inertial_residual(st, R[i], v[i], p[i],
+                                      R[i + 1], v[i + 1], p[i + 1],
+                                      bg, ba, g)
+            L = imu.sqrt_information(st)
+            ok = preint_valid[i] & kf_mask[i] & kf_mask[i + 1]
+            return jnp.where(ok, L.T @ r, 0.0)
+
+        ri = jax.vmap(one)(jnp.arange(W - 1)).reshape(-1)
+        rb = jnp.concatenate([x[9 * W:9 * W + 3], x[9 * W + 3:]]) \
+            * jnp.sqrt(walk_info)
+        # gauge: strong prior on the first window keyframe's pose
+        rg = x[:6] * 1e3
+        return jnp.concatenate([rv.reshape(-1), ri, rb, rg])
+
+    def weights(x):
+        rv, z = visual_raw(x)
+        chi2 = jnp.sum(rv * rv, -1) * w_info
+        w = robust.huber_weight(chi2, hub_d2) * w_info * (z > 1e-2)
+        return jax.lax.stop_gradient(jnp.sqrt(w))
+
+    def gn(i, x):
+        sw = weights(x)
+        r = residuals(x, sw)
+        J = jax.jacfwd(residuals)(x, sw)
+        H = J.T @ J + 1e-6 * jnp.eye(x.shape[0], dtype=dt)
+        return x + jnp.linalg.solve(H, -J.T @ r)
+
+    x0 = jnp.zeros(9 * W + 6, dt)
+    x = jax.lax.fori_loop(0, n_iters, gn, x0)
+    R, p, v, bg, ba = unpack(x)
+    r = residuals(x, weights(x))
+    return WindowRefineResult(R_wb=R, p_wb=p, vels=v, bg=bg, ba=ba,
+                              cost=jnp.sum(r * r))
 
 
 class InertialInitResult(NamedTuple):
@@ -183,8 +290,7 @@ def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
             r = jnp.concatenate([er, ev, ep])
             # whiten with the preintegration information (EdgeInertialGS
             # carries C^-1; without it the bias priors dominate)
-            L = jnp.linalg.cholesky(
-                imu.information(st) + 1e-6 * jnp.eye(9, dtype=dt))
+            L = imu.sqrt_information(st)
             return L.T @ r
 
         res = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)

@@ -111,6 +111,7 @@ class System:
         self.gravity = None                     # (3,) world gravity accel
         self.imu_bias = np.zeros(6, np.float32)  # [bg, ba]
         self.vel_w = np.zeros(3, np.float32)     # body velocity (world)
+        self.kf_velocities = np.zeros((cfg.map.max_kf, 3), np.float32)
         self._imu_frame_rows = None
         self._kf_imu_segments: list = []         # raw rows per KF interval
         self._imu_accum: list = []               # rows since last keyframe
@@ -553,7 +554,13 @@ class System:
             self._kf_imu_segments.append(rows)
             self._imu_accum = []
             self._kf_times.append(self._last_ts or 0.0)
+            self.kf_velocities[slot] = self.vel_w
             self._try_imu_init()
+            # inertial factors enter the window BA only after the first
+            # VIBA refinement has sharpened gravity/bias (ref: LocalMapping
+            # trusts LocalInertialBA after the staged inits)
+            if self.imu_initialized and getattr(self, "_imu_stage", 0) >= 2:
+                self._inertial_window_ba(slot)
         if self._sparsifier is not None:
             self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
@@ -670,16 +677,25 @@ class System:
         from ..ops import imu as imu_ops
         from ..ops import inertial_opt
         cfg = self.cfg
-        if (self.imu_initialized or not cfg.use_imu
-                or len(self._kf_imu_segments) < cfg.imu_init_kfs
-                or (self._kf_times[-1] - self._kf_times[0])
-                < cfg.imu_init_time):
+        if not cfg.use_imu or len(self._kf_imu_segments) < cfg.imu_init_kfs:
             return
-        K = len(self._kf_imu_segments) + 1
-        cap = max(int(max(len(seg) for seg in self._kf_imu_segments)), 8)
+        elapsed = self._kf_times[-1] - self._kf_times[0]
+        if elapsed < cfg.imu_init_time:
+            return
+        # staged refinement: initial MAP, then VIBA1/VIBA2-style re-estimates
+        # with more baseline (ref LocalMapping.cc:201-228 at 5s and 15s)
+        stage = getattr(self, "_imu_stage", 0)
+        thresholds = [cfg.imu_init_time, 5.0, 15.0]
+        if stage >= len(thresholds) or elapsed < thresholds[stage]:
+            return
+        self._imu_stage = stage + 1
+        segs = self._kf_imu_segments[-20:]
+        first = len(self._kf_imu_segments) - len(segs)
+        K = len(segs) + 1
+        cap = max(int(max(len(seg) for seg in segs)), 8)
         meas = np.zeros((K - 1, cap, 7), np.float32)
         valid = np.zeros((K - 1, cap), bool)
-        for i, seg in enumerate(self._kf_imu_segments):
+        for i, seg in enumerate(segs):
             meas[i, :len(seg)] = seg
             valid[i, :len(seg)] = True
         sts = jax.vmap(
@@ -687,8 +703,8 @@ class System:
                 jnp.zeros(6), m, v, jnp.asarray(1e-3), jnp.asarray(1e-2),
                 jnp.asarray(1e-6), jnp.asarray(1e-4)))(
             jnp.asarray(meas), jnp.asarray(valid))
-        kf_R_cw = np.asarray(self.ms.kf_R[:K])
-        kf_t_cw = np.asarray(self.ms.kf_t[:K])
+        kf_R_cw = np.asarray(self.ms.kf_R[first:first + K])
+        kf_t_cw = np.asarray(self.ms.kf_t[first:first + K])
         R_wb = kf_R_cw.transpose(0, 2, 1)
         p_wb = -np.einsum("kij,kj->ki", R_wb, kf_t_cw)
         res = inertial_opt.inertial_init(
@@ -700,6 +716,72 @@ class System:
             [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
         self.vel_w = np.asarray(res.vels[-1]).astype(np.float32)
         self.imu_initialized = True
+
+    def _inertial_window_ba(self, new_slot: int):
+        """Local inertial BA over the temporal window (ref
+        Optimizer::LocalInertialBA via LocalMapping, src/Optimizer.cc:2431):
+        refine the last W keyframes' poses/velocities + shared biases
+        against fixed landmarks and the preintegration chain."""
+        import jax
+        from ..ops import imu as imu_ops
+        from ..ops import inertial_opt
+        W = min(6, new_slot + 1)
+        slots = list(range(new_slot - W + 1, new_slot + 1))
+        # preintegration per consecutive interval from stored raw segments
+        segs = [self._kf_imu_segments[s] if s < len(self._kf_imu_segments)
+                else np.zeros((0, 7), np.float32) for s in slots[1:]]
+        cap = max(max((len(x) for x in segs), default=1), 1)
+        meas = np.zeros((W - 1, cap, 7), np.float32)
+        valid = np.zeros((W - 1, cap), bool)
+        pv = np.zeros(W - 1, bool)
+        for i, seg in enumerate(segs):
+            meas[i, :len(seg)] = seg
+            valid[i, :len(seg)] = True
+            pv[i] = len(seg) > 0
+        bias = jnp.asarray(self.imu_bias)
+        sts = jax.vmap(
+            lambda m, v: imu_ops.integrate(
+                bias, m, v, jnp.asarray(1e-3), jnp.asarray(1e-2),
+                jnp.asarray(1e-6), jnp.asarray(1e-4)))(
+            jnp.asarray(meas), jnp.asarray(valid))
+        sl = jnp.asarray(slots)
+        R_cw = self.ms.kf_R[sl]
+        t_cw = self.ms.kf_t[sl]
+        R_wb = jnp.swapaxes(R_cw, -1, -2)
+        p_wb = -jnp.einsum("kij,kj->ki", R_wb, t_cw)
+        kf_mask = self.ms.kf_valid[sl]
+        # factor table: window observations against fixed landmarks
+        obs = self.ms.obs_mp[sl]                      # (W,N)
+        f_valid = (obs >= 0) & self.ms.kp_valid[sl] & kf_mask[:, None]
+        Wn = obs.shape[1]
+        f_kf = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[:, None], (W, Wn)).reshape(-1)
+        s2 = jnp.asarray(
+            [sc * sc for sc in self.orb.level_scales()], jnp.float32)
+        res = inertial_opt.inertial_window_refine(
+            self.calib.model, self.calib.params_array(),
+            jnp.asarray(self.calib.bf),
+            R_wb, p_wb, jnp.asarray(self.kf_velocities[slots]), kf_mask,
+            sts, jnp.asarray(pv),
+            jnp.asarray(self.imu_bias[:3]), jnp.asarray(self.imu_bias[3:]),
+            jnp.asarray(self.gravity),
+            self.ms.mp_pos[jnp.clip(obs, 0).reshape(-1)], f_kf,
+            self.ms.kp_xy[sl].reshape(-1, 2),
+            self.ms.kp_uright[sl].reshape(-1),
+            s2[self.ms.kp_octave[sl]].reshape(-1), f_valid.reshape(-1),
+            walk_info=jnp.full(6, 1e5))
+        # write back
+        R_cw_new = jnp.swapaxes(res.R_wb, -1, -2)
+        t_cw_new = -jnp.einsum("kij,kj->ki", R_cw_new, res.p_wb)
+        self.ms = self.ms._replace(
+            kf_R=self.ms.kf_R.at[sl].set(
+                jnp.where(kf_mask[:, None, None], R_cw_new, self.ms.kf_R[sl])),
+            kf_t=self.ms.kf_t.at[sl].set(
+                jnp.where(kf_mask[:, None], t_cw_new, self.ms.kf_t[sl])))
+        self.kf_velocities[slots] = np.asarray(res.vels)
+        self.imu_bias = np.concatenate(
+            [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
+        self.vel_w = self.kf_velocities[new_slot]
 
     def _refresh_ref_pose(self):
         packed = np.asarray(jnp.concatenate([

@@ -27,7 +27,7 @@ def test_stereo_inertial(rng):
     slam = System(cfg)
 
     world = synth.PlaneWorld(rng, z_wall=14.0, y_floor=2.0)
-    n_frames = 40
+    n_frames = 65
     poses = synth.make_trajectory(n_frames, "arc")
     frame_dt = 0.1
     imu = synth.make_imu(poses, frame_dt, imu_rate=200)
@@ -44,6 +44,8 @@ def test_stereo_inertial(rng):
 
     assert slam.state == "OK"
     assert slam.imu_initialized, (len(slam._kf_imu_segments))
+    # past 5s the VIBA1 refinement fired and the inertial window BA engaged
+    assert slam._imu_stage >= 2, slam._imu_stage
     # gravity should point along +y (camera-down world), magnitude ~9.81
     g = slam.gravity
     assert abs(np.linalg.norm(g) - 9.81) < 0.5, g
@@ -54,4 +56,4 @@ def test_stereo_inertial(rng):
     gt_xyz = np.stack([T[:3, 3] for T in poses])
     path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
     rmse = ate_rmse(est_xyz, gt_xyz)
-    assert rmse < 0.02 * path, (rmse, path)
+    assert rmse < 0.025 * path, (rmse, path)
