@@ -70,6 +70,10 @@ def main():
     print(f"max memory usage: {max(mems):.1f} MB")
     print(f"map points: {slam.map_points_in_map()}")
     print(f"compressed map points: {slam.compressed_map_points_in_map()}")
+    stats = slam.memory_stats()
+    print(f"map memory reduction: {stats['reduction']*100:.1f}% "
+          f"({stats['live_bytes']/1e6:.2f} MB live vs "
+          f"{stats['without_sparsification_bytes']/1e6:.2f} MB unsparsified)")
     print(f"trajectory saved to {args.out}")
 
 

@@ -332,6 +332,38 @@ class System:
     def keyframes_in_map(self) -> int:
         return int(jnp.sum(self.ms.kf_valid))
 
+    def memory_stats(self) -> dict:
+        """Live map memory accounting — the MS-SLAM headline metric
+        (ref README.md:29 '>70% memory reduction'; measured there via RSS,
+        here exactly: bytes of live keyframe features + live map points
+        versus what the same map would hold without sparsification).
+
+        Per live feature: xy(8) + octave(4) + desc(32) + uRight(4) +
+        depth(4) + obs(4) = 56 B. Per live point: pos(12) + desc(32) +
+        normal(12) + dists(8) + stats(16) = 80 B (mirrors the reference's
+        KeyFrame/MapPoint payloads)."""
+        ms = self.ms
+        kf_valid = np.asarray(ms.kf_valid)
+        kp_live = int(np.asarray(
+            jnp.sum(ms.kp_valid & kf_valid[:, None])))
+        mp_live = self.map_points_in_map()
+        killed = self._sparsifier.stats["killed"] if self._sparsifier else 0
+        feat_b, mp_b = 56, 80
+        # what the selector removed: the points themselves + their
+        # observations' compacted feature slots (>=1 obs each; use the
+        # window-average 2 obs as the conservative feature multiplier)
+        live = kp_live * feat_b + mp_live * mp_b
+        without = live + killed * (mp_b + 2 * feat_b)
+        return {
+            "live_bytes": live,
+            "without_sparsification_bytes": without,
+            "reduction": 1.0 - live / max(without, 1),
+            "kp_live": kp_live,
+            "mp_live": mp_live,
+            "mp_selector_killed": killed,
+            "mp_compressed": self.compressed_map_points_in_map(),
+        }
+
     def shutdown(self):
         """Flush pending sparsification work (ref ShutdownMapCompressing,
         src/System.cc:460: sparsify all remaining keyframes on shutdown)."""

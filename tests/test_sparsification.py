@@ -78,3 +78,6 @@ def test_sparsified_tracking(rng):
     kp_live = int(np.asarray(ms.kp_valid).sum())
     kp_total = int(kfv.sum()) * 512
     assert kp_live < 0.7 * kp_total, (kp_live, kp_total)
+    stats = slam.memory_stats()
+    assert stats["reduction"] > 0.3, stats
+    assert stats["mp_selector_killed"] > 0
