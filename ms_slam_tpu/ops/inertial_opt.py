@@ -148,6 +148,7 @@ def inertial_window_refine(
     X: jnp.ndarray, f_kf: jnp.ndarray, f_uv: jnp.ndarray,
     f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
     walk_info: jnp.ndarray, n_iters: int = 5,
+    R_bc: jnp.ndarray = None, t_bc: jnp.ndarray = None,
 ) -> WindowRefineResult:
     """The inertial half of LocalInertialBA (ref Optimizer::LocalInertialBA,
     /root/reference/src/Optimizer.cc:2431): jointly refine the window
@@ -158,11 +159,15 @@ def inertial_window_refine(
     anchor (pose prior).
 
     State dim = 9W + 6 (W<=10), so jacfwd + one dense solve per iteration.
-    f_kf indexes into the window (0..W-1); camera == body frame assumed
-    here (Tbc support at the tracking level).
+    f_kf indexes into the window (0..W-1). R_bc/t_bc: body-from-camera
+    extrinsic (ref IMU::Calib mTbc); None = camera == body.
     """
     W = R_wb.shape[0]
     dt = R_wb.dtype
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=dt)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, dt)
     is_stereo = f_ur >= 0.0
     w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
     hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
@@ -178,8 +183,9 @@ def inertial_window_refine(
 
     def visual_raw(x):
         R, p, v, bg, ba = unpack(x)
-        Rk = R[f_kf]
-        pk = p[f_kf]
+        # camera pose per factor: T_wc = T_wb * T_bc
+        Rk = R[f_kf] @ R_bc
+        pk = jnp.einsum("fij,j->fi", R[f_kf], t_bc) + p[f_kf]
         R_cw = jnp.swapaxes(Rk, -1, -2)
         t_cw = -jnp.einsum("fij,fj->fi", R_cw, pk)
         Xc = jnp.einsum("fij,fj->fi", R_cw, X) + t_cw

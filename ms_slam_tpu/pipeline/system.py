@@ -67,6 +67,17 @@ class SystemConfig:
     use_imu: bool = False
     imu_init_kfs: int = 8
     imu_init_time: float = 1.0
+    # continuous-time IMU noise densities (ref IMU.NoiseGyro/NoiseAcc/
+    # GyroWalk/AccWalk yaml keys, Settings::readIMU src/Settings.cc)
+    imu_noise_gyro: float = 1e-3
+    imu_noise_acc: float = 1e-2
+    imu_gyro_walk: float = 1e-6
+    imu_acc_walk: float = 1e-4
+    # body-from-camera extrinsic (ref IMU.T_b_c1); None = identity
+    Tbc: object = None
+    # localization-only mode (ref System::ActivateLocalizationMode,
+    # src/System.cc:219-257): track against the frozen map, no new KFs
+    localization_only: bool = False
 
 
 @dataclass
@@ -107,6 +118,9 @@ class System:
         self.kf_maps: list[int] = []       # map id per keyframe slot
         self._lost_frames = 0
         # inertial host state (ref Tracking IMU members)
+        self.Tbc = (np.eye(4, dtype=np.float64) if cfg.Tbc is None
+                    else np.asarray(cfg.Tbc, np.float64).reshape(4, 4))
+        self.Tcb = np.linalg.inv(self.Tbc)
         self.imu_initialized = False
         self.gravity = None                     # (3,) world gravity accel
         self.imu_bias = np.zeros(6, np.float32)  # [bg, ba]
@@ -364,6 +378,16 @@ class System:
             "mp_compressed": self.compressed_map_points_in_map(),
         }
 
+    # -- localization-only mode (ref System::ActivateLocalizationMode /
+    # DeactivateLocalizationMode, src/System.cc:219-257: tracking continues
+    # against the frozen map; local mapping is paused) -------------------
+
+    def activate_localization_mode(self):
+        self.cfg.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.cfg.localization_only = False
+
     def shutdown(self):
         """Flush pending sparsification work (ref ShutdownMapCompressing,
         src/System.cc:460: sparsify all remaining keyframes on shutdown)."""
@@ -398,22 +422,48 @@ class System:
                 row = Twc[:3].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
-    def save_keyframe_trajectory_tum(self, path: str):
-        """Keyframe-only trajectory (ref System::SaveKeyFrameTrajectoryTUM/
-        EuRoC, src/System.cc:762-)."""
+    def _keyframe_traj_rows(self):
+        """(ts, twc(3,), q_wxyz(4,)) per valid keyframe."""
         from ..ops.lie import rot_to_quat
         kf_valid = np.asarray(self.ms.kf_valid)
         R = np.asarray(self.ms.kf_R)
         t = np.asarray(self.ms.kf_t)
         frame_ids = np.asarray(self.ms.kf_frame_id)
         ts_by_frame = {e.frame_id: e.timestamp for e in self.trajectory}
+        rows = []
+        for k in np.where(kf_valid)[0]:
+            Rwc = R[k].T
+            twc = -Rwc @ t[k]
+            q = np.asarray(rot_to_quat(jnp.asarray(Rwc)))
+            rows.append((ts_by_frame.get(int(frame_ids[k]), 0.0), twc, q))
+        return rows
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory (ref System::SaveKeyFrameTrajectoryTUM/
+        EuRoC, src/System.cc:762-)."""
         with open(path, "w") as f:
-            for k in np.where(kf_valid)[0]:
-                Rwc = R[k].T
-                twc = -Rwc @ t[k]
-                q = np.asarray(rot_to_quat(jnp.asarray(Rwc)))
-                ts = ts_by_frame.get(int(frame_ids[k]), 0.0)
+            for ts, twc, q in self._keyframe_traj_rows():
                 f.write(f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC-format trajectory: TUM layout with nanosecond timestamps
+        (ref System::SaveTrajectoryEuRoC, src/System.cc:615: ts*1e9)."""
+        from ..ops.lie import rot_to_quat
+        with open(path, "w") as f:
+            for ts, Twc in self.poses_wc():
+                q = np.asarray(rot_to_quat(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(f"{ts * 1e9:.0f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                        f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Keyframe-only EuRoC trajectory (ref SaveKeyFrameTrajectoryEuRoC,
+        src/System.cc:829)."""
+        with open(path, "w") as f:
+            for ts, twc, q in self._keyframe_traj_rows():
+                f.write(f"{ts * 1e9:.0f} "
+                        f"{twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
                         f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
 
     def save_trajectory_tum(self, path: str):
@@ -549,7 +599,8 @@ class System:
         c1a = self.frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
         c1b = self.frame_id >= self.last_kf_frame + cfg.min_frames_between_kf
         c2 = (n_inliers < self.n_inliers_ref * cfg.ref_ratio) or need_close
-        if ((c1a or (c1b and c2)) and n_inliers > 15):
+        if ((c1a or (c1b and c2)) and n_inliers > 15
+                and not cfg.localization_only):
             self._create_keyframe(frame, out)
         self._record(timestamp, lost=False)
 
@@ -687,19 +738,22 @@ class System:
         return dR, dV, dP, dT
 
     def _predict_imu(self, T_last):
-        """Propagate the last body state across the frame interval."""
+        """Propagate the last body state across the frame interval
+        (ref Tracking::PredictStateIMU, src/Tracking.cc:1727; body pose via
+        the IMU.T_b_c1 extrinsic)."""
         bg, ba = self.imu_bias[:3], self.imu_bias[3:]
         dR, dV, dP, dT = self._integrate_np(self._imu_frame_rows, bg, ba)
-        R_wb = T_last[:3, :3].T          # camera == body (Tbc = I)
-        p_wb = -R_wb @ T_last[:3, 3]
+        T_wb = np.linalg.inv(T_last) @ self.Tcb
+        R_wb, p_wb = T_wb[:3, :3], T_wb[:3, 3]
         g = self.gravity
         R2 = R_wb @ dR
         v2 = self.vel_w + g * dT + R_wb @ dV
         p2 = p_wb + self.vel_w * dT + 0.5 * g * dT * dT + R_wb @ dP
-        T_pred = np.eye(4)
-        T_pred[:3, :3] = R2.T
-        T_pred[:3, 3] = -R2.T @ p2
-        return T_pred, v2
+        T_wb2 = np.eye(4)
+        T_wb2[:3, :3] = R2
+        T_wb2[:3, 3] = p2
+        T_pred = np.linalg.inv(T_wb2 @ self.Tbc)
+        return T_pred.astype(np.float64), v2
 
     def _try_imu_init(self):
         """Staged IMU initialization (ref LocalMapping::InitializeIMU,
@@ -732,13 +786,19 @@ class System:
             valid[i, :len(seg)] = True
         sts = jax.vmap(
             lambda m, v: imu_ops.integrate(
-                jnp.zeros(6), m, v, jnp.asarray(1e-3), jnp.asarray(1e-2),
-                jnp.asarray(1e-6), jnp.asarray(1e-4)))(
+                jnp.zeros(6), m, v, jnp.asarray(cfg.imu_noise_gyro),
+                jnp.asarray(cfg.imu_noise_acc),
+                jnp.asarray(cfg.imu_gyro_walk),
+                jnp.asarray(cfg.imu_acc_walk)))(
             jnp.asarray(meas), jnp.asarray(valid))
         kf_R_cw = np.asarray(self.ms.kf_R[first:first + K])
         kf_t_cw = np.asarray(self.ms.kf_t[first:first + K])
-        R_wb = kf_R_cw.transpose(0, 2, 1)
-        p_wb = -np.einsum("kij,kj->ki", R_wb, kf_t_cw)
+        R_wc = kf_R_cw.transpose(0, 2, 1)
+        p_wc = -np.einsum("kij,kj->ki", R_wc, kf_t_cw)
+        # body pose: T_wb = T_wc * T_cb (IMU.T_b_c1 extrinsic)
+        Rcb, pcb = self.Tcb[:3, :3], self.Tcb[:3, 3]
+        R_wb = R_wc @ Rcb
+        p_wb = np.einsum("kij,j->ki", R_wc, pcb) + p_wc
         res = inertial_opt.inertial_init(
             jnp.asarray(R_wb), jnp.asarray(p_wb), sts,
             prior_g=jnp.asarray(1e2), prior_a=jnp.asarray(1e5))
@@ -771,16 +831,24 @@ class System:
             valid[i, :len(seg)] = True
             pv[i] = len(seg) > 0
         bias = jnp.asarray(self.imu_bias)
+        cfg = self.cfg
         sts = jax.vmap(
             lambda m, v: imu_ops.integrate(
-                bias, m, v, jnp.asarray(1e-3), jnp.asarray(1e-2),
-                jnp.asarray(1e-6), jnp.asarray(1e-4)))(
+                bias, m, v, jnp.asarray(cfg.imu_noise_gyro),
+                jnp.asarray(cfg.imu_noise_acc),
+                jnp.asarray(cfg.imu_gyro_walk),
+                jnp.asarray(cfg.imu_acc_walk)))(
             jnp.asarray(meas), jnp.asarray(valid))
         sl = jnp.asarray(slots)
         R_cw = self.ms.kf_R[sl]
         t_cw = self.ms.kf_t[sl]
-        R_wb = jnp.swapaxes(R_cw, -1, -2)
-        p_wb = -jnp.einsum("kij,kj->ki", R_wb, t_cw)
+        R_wc = jnp.swapaxes(R_cw, -1, -2)
+        p_wc = -jnp.einsum("kij,kj->ki", R_wc, t_cw)
+        # body pose: T_wb = T_wc * T_cb (IMU.T_b_c1 extrinsic)
+        Rcb = jnp.asarray(self.Tcb[:3, :3], R_cw.dtype)
+        pcb = jnp.asarray(self.Tcb[:3, 3], R_cw.dtype)
+        R_wb = R_wc @ Rcb
+        p_wb = jnp.einsum("kij,j->ki", R_wc, pcb) + p_wc
         kf_mask = self.ms.kf_valid[sl]
         # factor table: window observations against fixed landmarks
         obs = self.ms.obs_mp[sl]                      # (W,N)
@@ -801,10 +869,16 @@ class System:
             self.ms.kp_xy[sl].reshape(-1, 2),
             self.ms.kp_uright[sl].reshape(-1),
             s2[self.ms.kp_octave[sl]].reshape(-1), f_valid.reshape(-1),
-            walk_info=jnp.full(6, 1e5))
-        # write back
-        R_cw_new = jnp.swapaxes(res.R_wb, -1, -2)
-        t_cw_new = -jnp.einsum("kij,kj->ki", R_cw_new, res.p_wb)
+            walk_info=jnp.full(6, 1e5),
+            R_bc=jnp.asarray(self.Tbc[:3, :3], R_cw.dtype),
+            t_bc=jnp.asarray(self.Tbc[:3, 3], R_cw.dtype))
+        # write back: T_cw = (T_wb * T_bc)^-1
+        Rbc = jnp.asarray(self.Tbc[:3, :3], R_cw.dtype)
+        pbc = jnp.asarray(self.Tbc[:3, 3], R_cw.dtype)
+        R_wc_new = res.R_wb @ Rbc
+        p_wc_new = jnp.einsum("kij,j->ki", res.R_wb, pbc) + res.p_wb
+        R_cw_new = jnp.swapaxes(R_wc_new, -1, -2)
+        t_cw_new = -jnp.einsum("kij,kj->ki", R_cw_new, p_wc_new)
         self.ms = self.ms._replace(
             kf_R=self.ms.kf_R.at[sl].set(
                 jnp.where(kf_mask[:, None, None], R_cw_new, self.ms.kf_R[sl])),

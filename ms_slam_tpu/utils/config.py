@@ -114,6 +114,12 @@ class Settings:
         mcfg = MapConfig(max_kf=max_kf, max_mp=max_mp,
                          n_feat=orb.n_features, local_mp_cap=local_cap,
                          window_kf=8)
+        # IMU block (ref Settings::readIMU; presence of the noise keys
+        # marks an inertial configuration)
+        has_imu = g("IMU.NoiseGyro") is not None
+        Tbc = g("IMU.T_b_c1", "IMU.T_b_c1.data", "Tbc", "Tbc.data")
+        if Tbc is not None:
+            Tbc = np.asarray(Tbc, np.float64).reshape(4, 4)
         return SystemConfig(
             calib=calib, orb=orb, map=mcfg,
             max_frames_between_kf=int(round(calib.fps)),
@@ -125,4 +131,10 @@ class Settings:
             sparsify_window=int(g("Sparsification.WindowLength", default=30)),
             nonlocal_kf=int(g("Sparsification.NonLocalKF", default=30)),
             loop_closing=bool(int(g("loopClosing", default=1))),
+            use_imu=has_imu,
+            imu_noise_gyro=float(g("IMU.NoiseGyro", default=1e-3)),
+            imu_noise_acc=float(g("IMU.NoiseAcc", default=1e-2)),
+            imu_gyro_walk=float(g("IMU.GyroWalk", default=1e-6)),
+            imu_acc_walk=float(g("IMU.AccWalk", default=1e-4)),
+            Tbc=Tbc,
         )

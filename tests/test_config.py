@@ -24,3 +24,23 @@ def test_parse_euroc_yaml():
     cfg = st.system_config()
     assert cfg.sparsify_n == 75 and cfg.nonlocal_kf == 15
     assert len(st.flat["K_l"]) == 9
+
+
+def test_parse_inertial_yaml():
+    st = Settings("configs/EuRoC-Inertial.yaml")
+    cfg = st.system_config()
+    assert cfg.use_imu
+    assert abs(cfg.imu_noise_gyro - 1.7e-4) < 1e-9
+    assert abs(cfg.imu_acc_walk - 3e-3) < 1e-9
+    assert cfg.Tbc is not None and cfg.Tbc.shape == (4, 4)
+    assert abs(cfg.Tbc[1, 0] - 0.999557249008) < 1e-9
+    # stereo config has no IMU block
+    assert not Settings("configs/EuRoC.yaml").system_config().use_imu
+
+
+def test_parse_all_shipped_configs():
+    import glob
+    for path in glob.glob("configs/*.yaml"):
+        cfg = Settings(path).system_config()
+        assert cfg.calib.width > 0, path
+        assert cfg.sparsify, path
