@@ -108,3 +108,89 @@ def relative_pose(Ri, ti, Rj, tj):
     """Z_ij = T_i * T_j^-1 for edge construction."""
     Rji, tji = lie.se3_inv(Rj, tj)
     return lie.se3_compose(Ri, ti, Rji, tji)
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) variant — the monocular essential graph (ref
+# OptimizeEssentialGraph with bFixScale=false, src/Optimizer.cc:1410:
+# monocular loop closure must absorb scale drift, so vertices are 7-DoF).
+# ---------------------------------------------------------------------------
+
+
+class Sim3GraphResult(NamedTuple):
+    s: jnp.ndarray   # (K,)
+    R: jnp.ndarray   # (K,3,3)
+    t: jnp.ndarray   # (K,3)
+    final_cost: jnp.ndarray
+
+
+def _edge_residual_sim3(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, sz, Rz, tz):
+    """r = log(Z^-1 * exp(xi_i) S_i * (exp(xi_j) S_j)^-1) in sim(3)."""
+    dsi, dRi, dti = lie.sim3_exp(xi_i)
+    dsj, dRj, dtj = lie.sim3_exp(xi_j)
+    si2, Ri2, ti2 = lie.sim3_compose(dsi, dRi, dti, si, Ri, ti)
+    sj2, Rj2, tj2 = lie.sim3_compose(dsj, dRj, dtj, sj, Rj, tj)
+    sji, Rji, tji = lie.sim3_inv(sj2, Rj2, tj2)
+    srel, Rrel, trel = lie.sim3_compose(si2, Ri2, ti2, sji, Rji, tji)
+    szi, Rzi, tzi = lie.sim3_inv(sz, Rz, tz)
+    se, Re, te = lie.sim3_compose(szi, Rzi, tzi, srel, Rrel, trel)
+    return lie.sim3_log(se, Re, te)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_sim3(kf_s: jnp.ndarray, kf_R: jnp.ndarray,
+                             kf_t: jnp.ndarray, fixed: jnp.ndarray,
+                             e_i: jnp.ndarray, e_j: jnp.ndarray,
+                             e_s: jnp.ndarray, e_R: jnp.ndarray,
+                             e_t: jnp.ndarray, e_w: jnp.ndarray,
+                             e_valid: jnp.ndarray, n_iters: int = 12,
+                             lam: float = 1e-6) -> Sim3GraphResult:
+    """7-DoF pose-graph optimization over E relative Sim(3) edges.
+
+    Same structure as optimize_pose_graph with a 7-dim tangent; edge
+    measurements Z_ij = S_i S_j^-1 carry scale (1 for odometry edges built
+    before drift, s_loop for the closing edge)."""
+    K = kf_R.shape[0]
+    dt = kf_R.dtype
+    zero7 = jnp.zeros(7, dt)
+
+    res_fn = jax.vmap(_edge_residual_sim3,
+                      in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    jac_fn = jax.vmap(jax.jacrev(_edge_residual_sim3, argnums=(0, 1)),
+                      in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+
+    def iteration(state, _):
+        s_all, R_all, t_all = state
+        args = (s_all[e_i], R_all[e_i], t_all[e_i],
+                s_all[e_j], R_all[e_j], t_all[e_j], e_s, e_R, e_t)
+        r = res_fn(zero7, zero7, *args)        # (E,7)
+        Ji, Jj = jac_fn(zero7, zero7, *args)   # (E,7,7)
+        w = (e_w * e_valid)[:, None, None]
+        Ji = Ji * jnp.where(fixed[e_i], 0.0, 1.0)[:, None, None]
+        Jj = Jj * jnp.where(fixed[e_j], 0.0, 1.0)[:, None, None]
+
+        H = jnp.zeros((K, K, 7, 7), dt)
+        H = H.at[e_i, e_i].add(w * jnp.einsum("eki,ekj->eij", Ji, Ji))
+        H = H.at[e_j, e_j].add(w * jnp.einsum("eki,ekj->eij", Jj, Jj))
+        H = H.at[e_i, e_j].add(w * jnp.einsum("eki,ekj->eij", Ji, Jj))
+        H = H.at[e_j, e_i].add(w * jnp.einsum("eki,ekj->eij", Jj, Ji))
+        b = jnp.zeros((K, 7), dt)
+        b = b.at[e_i].add(-jnp.einsum("eki,ek->ei", Ji * w, r))
+        b = b.at[e_j].add(-jnp.einsum("eki,ek->ei", Jj * w, r))
+
+        Hb = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+        diag_fix = jnp.repeat(fixed, 7)
+        Hb = Hb + jnp.diag(diag_fix.astype(dt) * 1e6 + lam) \
+            + 1e-8 * jnp.eye(K * 7, dtype=dt)
+        dx = jnp.linalg.solve(Hb, b.reshape(K * 7)).reshape(K, 7)
+        dx = dx * jnp.where(fixed, 0.0, 1.0)[:, None]
+        ds, dR, dtv = lie.sim3_exp(dx)
+        s_new, R_new, t_new = lie.sim3_compose(ds, dR, dtv,
+                                               s_all, R_all, t_all)
+        R_new = lie.normalize_rotation(R_new)
+        cost = jnp.sum(jnp.sum(r * r, -1) * e_w * e_valid)
+        return (s_new, R_new, t_new), cost
+
+    (s_f, R_f, t_f), costs = jax.lax.scan(
+        iteration, (kf_s, kf_R, kf_t), None, length=n_iters)
+    return Sim3GraphResult(s=s_f, R=R_f, t=t_f, final_cost=costs[-1])

@@ -33,12 +33,14 @@ CONSECUTIVE_NEEDED = 3
 COVIS_EDGE_MIN = 30     # essential-graph covisibility edge threshold
 
 
-@partial(jax.jit, static_argnames=("calib",))
+@partial(jax.jit, static_argnames=("calib", "with_scale"))
 def _verify_pair(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
-                 kf_b: jnp.ndarray, key: jnp.ndarray):
+                 kf_b: jnp.ndarray, key: jnp.ndarray,
+                 with_scale: bool = False):
     """Descriptor-match two keyframes and RANSAC-align their shared
-    landmark geometry: returns (n_inliers, R, t) with (R,t) mapping
-    keyframe-b camera coords into keyframe-a camera coords."""
+    landmark geometry: returns (n_inliers, s, R, t) with (s,R,t) mapping
+    keyframe-b camera coords into keyframe-a camera coords (scale free for
+    monocular, ref Sim3Solver bFixScale)."""
     params = calib.params_array()
     va = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] >= 0)
     vb = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] >= 0)
@@ -56,35 +58,56 @@ def _verify_pair(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
     s2a = (1.2 ** ms.kp_octave[kf_a].astype(jnp.float32)) ** 2
     s2b = (1.2 ** ms.kp_octave[kf_b].astype(jnp.float32)) ** 2
     res = sim3.sim3_ransac(calib.model, params, Xc_a, Xc_b, s2a, s2b[ib],
-                           ok, key, n_hyp=128, with_scale=False)
-    return res.n_inliers, res.R, res.t
+                           ok, key, n_hyp=128, with_scale=with_scale)
+    return res.n_inliers, res.s, res.R, res.t
 
 
 @jax.jit
 def _apply_window_correction(ms: M.MapState, win_mask_k: jnp.ndarray,
-                             Rc: jnp.ndarray, tc: jnp.ndarray,
-                             cur: jnp.ndarray):
-    """Rigidly move the keyframes in win_mask_k and their points:
-    T_new_i = T_old_i * T_old_cur^-1 * T_corr_cur (relative poses to the
-    current keyframe preserved); points X' = T_corr^-1 * T_old_cur * X
-    (ref CorrectLoop's CorrectedSim3 propagation)."""
+                             sc: jnp.ndarray, Rc: jnp.ndarray,
+                             tc: jnp.ndarray, cur: jnp.ndarray):
+    """Similarity-move the keyframes in win_mask_k and their points:
+    S_new_i = T_old_i * T_old_cur^-1 * S_corr_cur (relative poses to the
+    current keyframe preserved), stored as SE(3) with t/s (ref CorrectLoop's
+    CorrectedSim3 propagation + the eigt*=1/s conversion); points
+    X' = S_corr^-1 * T_old_cur * X. sc=1 for stereo/RGB-D."""
     R_cur, t_cur = ms.kf_R[cur], ms.kf_t[cur]
     Ri, ti = lie.se3_inv(R_cur, t_cur)
-    # delta = T_old_cur^-1 * T_corr
-    Rd, td = lie.se3_compose(Ri, ti, Rc, tc)
+    # delta = T_old_cur^-1 * S_corr  (sim3 with scale sc)
+    Rd = Ri @ Rc
+    td = jnp.einsum("ij,j->i", Ri, tc) + ti
     R_new = ms.kf_R @ Rd
-    t_new = jnp.einsum("kij,j->ki", ms.kf_R, td) + ms.kf_t
+    t_new = (jnp.einsum("kij,j->ki", ms.kf_R, td) + ms.kf_t) / sc
     kf_R = jnp.where(win_mask_k[:, None, None], R_new, ms.kf_R)
     kf_t = jnp.where(win_mask_k[:, None], t_new, ms.kf_t)
 
-    # world-side point correction for points observed by the window
+    # world-side point correction for points observed by the window:
+    # X' = S_corr^-1 (T_old_cur X)
     pmask = M.local_map_mask(
         ms, jnp.arange(ms.kf_valid.shape[0]), win_mask_k)
-    Rci, tci = lie.se3_inv(Rc, tc)
-    Rw, tw = lie.se3_compose(Rci, tci, R_cur, t_cur)
-    moved = lie.se3_apply(Rw, tw, ms.mp_pos)
+    sci, Rci, tci = lie.sim3_inv(sc, Rc, tc)
+    sw, Rw, tw = lie.sim3_compose(sci, Rci, tci, jnp.ones((), sc.dtype),
+                                  R_cur, t_cur)
+    moved = lie.sim3_apply(sw, Rw, tw, ms.mp_pos)
     mp_pos = jnp.where(pmask[:, None], moved, ms.mp_pos)
     return ms._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos)
+
+
+@jax.jit
+def _apply_sim3_graph(ms: M.MapState, old_R: jnp.ndarray,
+                      old_t: jnp.ndarray, s_new: jnp.ndarray,
+                      R_new: jnp.ndarray, t_new: jnp.ndarray):
+    """Write back a 7-DoF essential-graph result: keyframe poses stored as
+    SE(3) with t/s (ref OptimizeEssentialGraph's eigt*=1/s), points moved
+    by their reference keyframe's Sim(3) change X' = S_new^-1(T_old X)."""
+    ref = jnp.clip(ms.mp_first_kf, 0, ms.kf_valid.shape[0] - 1)
+    X_cam = lie.se3_apply(old_R[ref], old_t[ref], ms.mp_pos)
+    si, Ri, ti = lie.sim3_inv(s_new[ref], R_new[ref], t_new[ref])
+    X_n = lie.sim3_apply(si, Ri, ti, X_cam)
+    ok = ms.mp_valid & ms.kf_valid[ref]
+    mp_pos = jnp.where(ok[:, None], X_n, ms.mp_pos)
+    return ms._replace(kf_R=R_new, kf_t=t_new / s_new[:, None],
+                       mp_pos=mp_pos)
 
 
 @jax.jit
@@ -107,6 +130,9 @@ class LoopCloser:
 
     def __init__(self, system, n_words: int = 2048):
         self.sys = system
+        # monocular maps drift in scale -> Sim(3) verification and 7-DoF
+        # essential graph (ref bFixScale=false for MONOCULAR/IMU-less)
+        self.mono = (system.calib.bf or 0.0) <= 0.0
         self.db = KeyFrameDatabase(n_words=n_words,
                                    max_kf=system.cfg.map.max_kf)
         self.consecutive = 0
@@ -135,10 +161,12 @@ class LoopCloser:
         best = None
         for c in cands:
             self.key, sub = jax.random.split(self.key)
-            n_inl, R, t = _verify_pair(ms, sys.calib, jnp.asarray(slot),
-                                       jnp.asarray(c), sub)
+            n_inl, s, R, t = _verify_pair(ms, sys.calib, jnp.asarray(slot),
+                                          jnp.asarray(c), sub,
+                                          with_scale=self.mono)
             if int(n_inl) >= MIN_RANSAC_INLIERS:
-                best = (c, np.asarray(R), np.asarray(t), int(n_inl))
+                best = (c, float(s), np.asarray(R), np.asarray(t),
+                        int(n_inl))
                 break
         if best is None:
             self.consecutive = 0
@@ -156,16 +184,16 @@ class LoopCloser:
         self.stats["verified"] += 1
         if self.consecutive >= CONSECUTIVE_NEEDED:
             if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
-                self._merge_maps(slot, *best[:3])
+                self._merge_maps(slot, *best[:4])
             else:
-                self._correct_loop(slot, *best[:3])
+                self._correct_loop(slot, *best[:4])
             self.consecutive = 0
             self.last_cand_group = set()
 
     # -- correction ------------------------------------------------------
-    def _correct_loop(self, cur: int, match: int, R_cm, t_cm):
-        """R_cm/t_cm map match-KF camera coords -> current-KF camera coords.
-        Corrected T_cw(cur) = S_cm * T_mw (ref CorrectLoop mScw)."""
+    def _correct_loop(self, cur: int, match: int, s_cm, R_cm, t_cm):
+        """s_cm/R_cm/t_cm map match-KF camera coords -> current-KF camera
+        coords. Corrected S_cw(cur) = S_cm * T_mw (ref CorrectLoop mScw)."""
         sys = self.sys
         ms = sys.ms
         self.stats["loops"] += 1
@@ -173,10 +201,10 @@ class LoopCloser:
         covis = np.array(M.covisibility_counts(ms, jnp.asarray(cur)))
         win = covis > 0
         win[cur] = True
-        self._rigid_correct(cur, match, R_cm, t_cm, win)
+        self._rigid_correct(cur, match, s_cm, R_cm, t_cm, win)
         self._fuse_and_optimize(cur, match)
 
-    def _merge_maps(self, cur: int, match: int, R_cm, t_cm):
+    def _merge_maps(self, cur: int, match: int, s_cm, R_cm, t_cm):
         """Weld the active map onto the matched keyframe's map (ref
         LoopClosing::MergeLocal, src/LoopClosing.cc:1171): rigidly move
         EVERY keyframe+point of the active map into the old map's frame,
@@ -188,21 +216,23 @@ class LoopCloser:
         win = np.asarray(
             [i < len(sys.kf_maps) and sys.kf_maps[i] == active
              for i in range(sys.ms.kf_valid.shape[0])])
-        self._rigid_correct(cur, match, R_cm, t_cm, win)
+        self._rigid_correct(cur, match, s_cm, R_cm, t_cm, win)
         for i, m in enumerate(sys.kf_maps):
             if m == active:
                 sys.kf_maps[i] = target
         sys.active_map = target
         self._fuse_and_optimize(cur, match)
 
-    def _rigid_correct(self, cur, match, R_cm, t_cm, win):
+    def _rigid_correct(self, cur, match, s_cm, R_cm, t_cm, win):
+        """Corrected S_cw(cur) = S_cm * T_mw (scale s_cm, =1 unless mono)."""
         sys = self.sys
         ms = sys.ms
         Rm, tm = np.asarray(ms.kf_R[match]), np.asarray(ms.kf_t[match])
         Rc = R_cm @ Rm
-        tc = R_cm @ tm + t_cm
+        tc = s_cm * (R_cm @ tm) + t_cm
         sys.ms = _apply_window_correction(
-            ms, jnp.asarray(win), jnp.asarray(Rc, jnp.float32),
+            ms, jnp.asarray(win), jnp.asarray(s_cm, jnp.float32),
+            jnp.asarray(Rc, jnp.float32),
             jnp.asarray(tc, jnp.float32), jnp.asarray(cur))
 
     def _fuse_and_optimize(self, cur: int, match: int):
@@ -255,15 +285,30 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[match] = True
         fixed[~kf_valid] = True
-        res = pose_graph.optimize_pose_graph(
-            ms.kf_R, ms.kf_t, jnp.asarray(fixed),
-            jnp.asarray(e_i, dtype=jnp.int32),
-            jnp.asarray(e_j, dtype=jnp.int32),
-            jnp.asarray(eR), jnp.asarray(et),
-            jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
-            n_iters=10)
-        ms = ms._replace(kf_R=res.R, kf_t=res.t)
-        sys.ms = _reanchor_points(ms, old_R, old_t)
+        if self.mono:
+            # 7-DoF graph absorbs monocular scale drift
+            # (ref OptimizeEssentialGraph bFixScale=false)
+            res7 = pose_graph.optimize_pose_graph_sim3(
+                jnp.ones(K, ms.kf_t.dtype), ms.kf_R, ms.kf_t,
+                jnp.asarray(fixed),
+                jnp.asarray(e_i, dtype=jnp.int32),
+                jnp.asarray(e_j, dtype=jnp.int32),
+                jnp.ones(E, ms.kf_t.dtype), jnp.asarray(eR),
+                jnp.asarray(et),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                n_iters=10)
+            sys.ms = _apply_sim3_graph(ms, old_R, old_t,
+                                       res7.s, res7.R, res7.t)
+        else:
+            res = pose_graph.optimize_pose_graph(
+                ms.kf_R, ms.kf_t, jnp.asarray(fixed),
+                jnp.asarray(e_i, dtype=jnp.int32),
+                jnp.asarray(e_j, dtype=jnp.int32),
+                jnp.asarray(eR), jnp.asarray(et),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                n_iters=10)
+            ms = ms._replace(kf_R=res.R, kf_t=res.t)
+            sys.ms = _reanchor_points(ms, old_R, old_t)
         # global refinement (ref RunGlobalBundleAdjustment): alternating
         # whole-map BA anchored at the matched keyframe
         from . import mapping_ops as mo

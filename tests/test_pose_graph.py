@@ -95,3 +95,68 @@ def test_perfect_graph_stays_put(rng):
         jnp.asarray(np.stack(e_R)), jnp.asarray(np.stack(e_t)),
         jnp.ones(n - 1), jnp.ones(n - 1, bool), n_iters=5)
     np.testing.assert_allclose(res.t, ts, atol=1e-6)
+
+
+def test_sim3_loop_absorbs_scale_drift(rng):
+    """Monocular-style drift: odometry edges measured at a slowly growing
+    scale; the Sim(3) graph with a scale-carrying loop edge must recover
+    both the geometry and per-keyframe scale (ref OptimizeEssentialGraph
+    bFixScale=false)."""
+    n = 20
+    Rs, ts = circle_poses(n)
+    # simulate scale drift: each odometry edge's translation is scaled by a
+    # factor that compounds to ~1.5x by loop end
+    per_edge = 1.5 ** (1.0 / (n - 1))
+    R_est = [Rs[0]]
+    t_est = [ts[0]]
+    e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
+    s_acc = 1.0
+    for k in range(1, n):
+        Rz, tz = pose_graph.relative_pose(
+            jnp.asarray(Rs[k]), jnp.asarray(ts[k]),
+            jnp.asarray(Rs[k - 1]), jnp.asarray(ts[k - 1]))
+        s_acc *= per_edge           # local scale compounds with distance
+        tz_drift = np.asarray(tz) * s_acc
+        Rk, tk = lie.se3_compose(jnp.asarray(Rz), jnp.asarray(tz_drift),
+                                 jnp.asarray(R_est[-1]),
+                                 jnp.asarray(t_est[-1]))
+        R_est.append(np.asarray(Rk))
+        t_est.append(np.asarray(tk))
+        e_i.append(k)
+        e_j.append(k - 1)
+        e_s.append(1.0)   # odometry believes scale 1
+        e_R.append(np.asarray(Rz))
+        e_t.append(np.asarray(tz_drift))
+
+    drift = np.linalg.norm(t_est[-1] - ts[-1])
+    assert drift > 0.3, drift
+
+    # loop edge: true relative Sim3 (scale s_acc detected by the Sim3 solver)
+    Rz, tz = pose_graph.relative_pose(
+        jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]),
+        jnp.asarray(Rs[0]), jnp.asarray(ts[0]))
+    e_i.append(n - 1)
+    e_j.append(0)
+    e_s.append(1.0)
+    e_R.append(np.asarray(Rz))
+    e_t.append(np.asarray(tz))
+
+    E = len(e_i)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    res = pose_graph.optimize_pose_graph_sim3(
+        jnp.ones(n), jnp.asarray(np.stack(R_est)),
+        jnp.asarray(np.stack(t_est)), jnp.asarray(fixed),
+        jnp.asarray(e_i, dtype=jnp.int32), jnp.asarray(e_j, dtype=jnp.int32),
+        jnp.asarray(e_s), jnp.asarray(np.stack(e_R)),
+        jnp.asarray(np.stack(e_t)),
+        jnp.ones(E), jnp.ones(E, bool), n_iters=20)
+
+    # loop end snaps back and the graph distributes the scale error:
+    # compare similarity-normalized positions (divide translation by scale)
+    t_corr = np.asarray(res.t) / np.asarray(res.s)[:, None]
+    end_err = np.linalg.norm(t_corr[-1] - ts[-1])
+    assert end_err < 0.25 * drift, (end_err, drift)
+    assert np.isfinite(np.asarray(res.s)).all()
+    # scale variables move away from 1 to absorb the drift
+    assert np.abs(np.log(np.asarray(res.s))).max() > 0.05
