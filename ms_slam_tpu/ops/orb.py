@@ -90,6 +90,15 @@ _FAST_CIRCLE = np.array(
 
 _ARC_LEN = 9  # contiguous arc length for the FAST-9 test
 
+# Keypoint patch geometry for the MXU descriptor path: BRIEF offsets are
+# clipped to +-13 (see _brief_pattern), so rotated offsets stay within
+# radius ceil(13*sqrt(2)) = 19; the extracted patch adds 3px for the 7x7
+# blur's valid region.
+PATCH_R = 19                  # blurred patch radius available to BRIEF
+EXTRACT_R = PATCH_R + 3       # raw patch radius extracted per keypoint
+N_ANGLE_BINS = 30             # steered-BRIEF angle quantization (the
+                              # original ORB paper discretizes to 2pi/30)
+
 
 @functools.lru_cache()
 def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 0x0B12EF):
@@ -331,9 +340,13 @@ def build_pyramid_stack(img: jnp.ndarray, cfg: OrbConfig):
 
 @functools.lru_cache()
 def _level_masks(h: int, w: int, cfg: OrbConfig):
-    """Static (L,H,W) in-bounds masks (borders excluded per level)."""
+    """Static (L,H,W) in-bounds masks (borders excluded per level).
+
+    The border is max(edge, EXTRACT_R+1) so every keypoint's extraction
+    patch lies fully inside its level (the reference's EDGE_THRESHOLD=19
+    serves the same purpose for its 31px patches)."""
     shapes = pyramid_shapes(h, w, cfg)
-    e = cfg.edge
+    e = max(cfg.edge, EXTRACT_R + 1)
     m = np.zeros((cfg.n_levels, h, w), bool)
     for l, (lh, lw) in enumerate(shapes):
         m[l, e:lh - e, e:lw - e] = True
@@ -364,7 +377,9 @@ def detect_stack(stack: jnp.ndarray, cfg: OrbConfig, n_images: int = 1):
     cells = rpad.reshape(L, gh, cs, gw, cs).transpose(0, 1, 3, 2, 4)
     cells = cells.reshape(L * gh * gw, cs * cs)
     k = min(cfg.cell_top_k, cs * cs)
-    top_v, top_i = jax.lax.top_k(cells, k)          # (L*gh*gw, k)
+    # approx_max_k: faster TPU lowering than full-sort top_k; candidate
+    # ranking only (the per-level exact top-quota follows)
+    top_v, top_i = jax.lax.approx_max_k(cells, k)   # (L*gh*gw, k)
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, (L * gh * gw, k), 0)
     lvl = cell_ids // (gh * gw)
     rem = cell_ids % (gh * gw)
@@ -445,15 +460,18 @@ def extract_stack_multi(imgs: jnp.ndarray, cfg: OrbConfig):
     lv, ys, xs, sc, va = detect_stack(stack, cfg, n_images=B)
 
     # orientation: circular-patch moment gathers over the stack (one pass
-    # for every keypoint of every level; a dense moment conv is slower here
-    # because XLA refuses the fast conv path when its input is fused)
+    # for every keypoint of every level). Gathers use FLAT 1-D indices into
+    # the reshaped stack: XLA lowers a 1-D gather ~1.5-2x faster on TPU
+    # than the equivalent 3-D gather (measured 66ms -> 44ms for BRIEF).
     oy, ox = _circular_offsets(cfg.patch_radius)
     oy = jnp.asarray(oy)
     ox = jnp.asarray(ox)
     h, w = imgs.shape[1:]
+    flat = stack.reshape(-1)
+    base = lv[:, None] * (h * w)
     py = jnp.clip(ys[:, None] + oy[None, :], 0, h - 1)
     px = jnp.clip(xs[:, None] + ox[None, :], 0, w - 1)
-    vals = stack[lv[:, None], py, px]
+    vals = flat[base + py * w + px]
     m01 = jnp.sum(vals * oy[None, :].astype(stack.dtype), axis=1)
     m10 = jnp.sum(vals * ox[None, :].astype(stack.dtype), axis=1)
     ang = jnp.arctan2(m01, m10)
@@ -490,10 +508,13 @@ def build_pyramid_stack_multi(imgs: jnp.ndarray, cfg: OrbConfig):
 def compute_descriptors_stack(blur: jnp.ndarray, lv, ys, xs,
                               angle: jnp.ndarray) -> jnp.ndarray:
     """Steered BRIEF over the padded stack: a single two-gather pass for
-    every keypoint of every level."""
+    every keypoint of every level (flat 1-D indices — see orientation note
+    in extract_stack_multi)."""
     pat = jnp.asarray(_brief_pattern())                   # (256,4)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     L, h, w = blur.shape
+    flat = blur.reshape(-1)
+    base = lv[:, None] * (h * w)
 
     def rot(dy, dx):
         ry = jnp.round(dx[None, :] * sa[:, None] + dy[None, :] * ca[:, None])
@@ -502,12 +523,11 @@ def compute_descriptors_stack(blur: jnp.ndarray, lv, ys, xs,
 
     r1y, r1x = rot(pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32))
     r2y, r2x = rot(pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
-    p1y = jnp.clip(ys[:, None] + r1y, 0, h - 1)
-    p1x = jnp.clip(xs[:, None] + r1x, 0, w - 1)
-    p2y = jnp.clip(ys[:, None] + r2y, 0, h - 1)
-    p2x = jnp.clip(xs[:, None] + r2x, 0, w - 1)
-    lvb = lv[:, None]
-    bits = blur[lvb, p1y, p1x] < blur[lvb, p2y, p2x]
+    i1 = base + jnp.clip(ys[:, None] + r1y, 0, h - 1) * w \
+        + jnp.clip(xs[:, None] + r1x, 0, w - 1)
+    i2 = base + jnp.clip(ys[:, None] + r2y, 0, h - 1) * w \
+        + jnp.clip(xs[:, None] + r2x, 0, w - 1)
+    bits = flat[i1] < flat[i2]
     return pack_bits(bits)
 
 

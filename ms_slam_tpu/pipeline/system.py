@@ -592,7 +592,10 @@ class System:
                 np.float32)
         if int(best_kf) != self.ref_kf:
             self.ref_kf = int(best_kf)
-            self._refresh_ref_pose()
+            # ref pose rides along in the stats pack — no extra fetch
+            self._ref_pose_np = (
+                packed[20:29].reshape(3, 3).astype(np.float32),
+                packed[29:32].astype(np.float32))
 
         # --- keyframe decision (ref NeedNewKeyFrame, src/Tracking.cc:3040) ---
         need_close = (n_close < 100) and (n_close_untracked > 70)

@@ -94,9 +94,11 @@ class TrackFullOut(NamedTuple):
     t: jnp.ndarray
     matched_mp: jnp.ndarray
     stats: jnp.ndarray
-    """(20,) float32: [R row-major (9), t (3), motion_inliers, used_wide,
+    """(32,) float32: [R row-major (9), t (3), motion_inliers, used_wide,
     used_fallback, local_inliers, n_close_tracked, n_close_untracked,
-    best_local_kf, n_local_candidates]"""
+    best_local_kf, n_local_candidates, ref-KF R row-major (9), ref-KF t (3)]
+    — the ref pose rides along so a reference-keyframe switch costs no
+    extra device->host round trip (ref Tracking::mpReferenceKF update)."""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "local_cap"),
@@ -143,10 +145,13 @@ def track_full(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     # pose + stats packed into one (20,) array => a single host fetch per
     # frame (each device->host transfer is a full round trip on a tunneled
     # TPU)
+    best_kf = lk_idx[0]
     packed = jnp.concatenate([
         out4.R.reshape(9).astype(jnp.float32),
         out4.t.astype(jnp.float32),
-        stats_i.astype(jnp.float32)])
+        stats_i.astype(jnp.float32),
+        ms.kf_R[best_kf].reshape(9).astype(jnp.float32),
+        ms.kf_t[best_kf].astype(jnp.float32)])
     return TrackFullOut(ms=ms, R=out4.R, t=out4.t,
                         matched_mp=out4.matched_mp, stats=packed)
 
