@@ -28,6 +28,9 @@ import jax.numpy as jnp
 from . import cameras, lie, robust
 
 
+from .lie import inv3x3, solve3x3
+
+
 class BAResult(NamedTuple):
     kf_R: jnp.ndarray
     kf_t: jnp.ndarray
@@ -110,7 +113,7 @@ def ba_alternate(model: int, params: jnp.ndarray, bf: jnp.ndarray,
             -jnp.einsum("fij,fi->fj", JpW, res))
         Hpp = Hpp + lam * jax.vmap(
             lambda h: jnp.diag(jnp.diag(h)))(Hpp) + 1e-8 * jnp.eye(3, dtype=dt)
-        dxp = jnp.linalg.solve(Hpp, bp[..., None])[..., 0] * pt_opt[:, None]
+        dxp = solve3x3(Hpp, bp) * pt_opt[:, None]
         return (R_all, t_all, P_all + dxp), None
 
     def cam_pass(state, _):
@@ -202,7 +205,7 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
         eyeP = jnp.eye(3, dtype=dt)
         Hpp = Hpp + (lam * jax.vmap(lambda h: jnp.diag(jnp.diag(h)))(Hpp)
                      + 1e-8 * eyeP)
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = inv3x3(Hpp)
 
         # Schur reduce onto cameras: block-diagonal embed of Hcc
         Hcc_big = jnp.zeros((C * 6, C * 6), dt)

@@ -198,6 +198,36 @@ def so3_right_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     return eye + 0.5 * W + coef * W2
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate/det). TPU lowers batched
+    linalg.inv through LU, which serializes badly for tiny blocks; the
+    cofactor form is pure VPU elementwise math."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve via the closed-form inverse."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(A), b)
+
+
 def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
     """Project near-rotation back onto SO(3) (ref IMU::NormalizeRotation,
     /root/reference/src/ImuTypes.cc) via quaternion round-trip (SVD-free)."""
@@ -220,8 +250,7 @@ def se3_exp(xi: jnp.ndarray):
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) -> (...,6) [v, w]."""
     w = so3_log(R)
-    Vinv = jnp.linalg.inv(so3_left_jacobian(w))
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    v = solve3x3(so3_left_jacobian(w), t)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -331,5 +360,5 @@ def sim3_log(s, R, t) -> jnp.ndarray:
     sigma = jnp.log(s)
     w = so3_log(R)
     W = _sim3_W(w, sigma)
-    v = jnp.linalg.solve(W, t[..., None])[..., 0]
+    v = solve3x3(W, t)
     return jnp.concatenate([v, w, sigma[..., None]], axis=-1)

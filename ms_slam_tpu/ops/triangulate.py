@@ -37,7 +37,8 @@ def triangulate_dlt(xn1: jnp.ndarray, xn2: jnp.ndarray,
     AtA = jnp.swapaxes(A, -1, -2) @ A
     Atb = jnp.einsum("...ij,...i->...j", A, b)
     AtA = AtA + 1e-12 * jnp.eye(3, dtype=A.dtype)
-    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    from .lie import solve3x3
+    return solve3x3(AtA, Atb)
 
 
 def triangulate_midpoint(o1, d1, o2, d2):

@@ -109,7 +109,7 @@ def dist_ba_solve(mesh: Mesh, model: int, params, bf,
             eyeP = jnp.eye(3, dtype=dt)
             Hpp = Hpp + lam * jax.vmap(
                 lambda h: jnp.diag(jnp.diag(h)))(Hpp) + 1e-8 * eyeP
-            Hpp_inv = jnp.linalg.inv(Hpp)
+            Hpp_inv = lie.inv3x3(Hpp)
 
             Hcc_big = jnp.zeros((C * 6, C * 6), dt).at[
                 (jnp.arange(C)[:, None, None] * 6

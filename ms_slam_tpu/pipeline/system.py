@@ -20,6 +20,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -391,6 +392,7 @@ class System:
     def shutdown(self):
         """Flush pending sparsification work (ref ShutdownMapCompressing,
         src/System.cc:460: sparsify all remaining keyframes on shutdown)."""
+        self._flush_pending_info()
         if self._sparsifier is not None:
             self._sparsifier.finish()
 
@@ -539,14 +541,23 @@ class System:
             jnp.asarray(T_last[:3, 3], jnp.float32),
             last_matched, jnp.asarray(self.ref_kf),
             cfg.map.local_mp_cap)
+        self.ms = out.ms                # input ms was donated to track_full
         self._prefetch_next()           # overlap next frontend with the RTT
-        packed = np.asarray(out.stats)  # the one per-frame fetch
+        if self._pending_kf_info is not None:
+            # previous keyframe's deferred info rides the same round trip
+            packed, info = jax.device_get(
+                (out.stats, self._pending_kf_info[1]))
+            self._integrate_kf_info(self._pending_kf_info[0],
+                                    np.asarray(info))
+            self._pending_kf_info = None
+            packed = np.asarray(packed)
+        else:
+            packed = np.asarray(out.stats)  # the one per-frame fetch
         R_np = packed[:9].reshape(3, 3).astype(np.float32)
         t_np = packed[9:12].astype(np.float32)
         (n_pre, _used_wide, _used_fb, n_inliers,
          n_close, n_close_untracked, best_kf, _n_cand) = (
             int(v) for v in packed[12:20])
-        self.ms = out.ms
 
         if n_pre < 10 or n_inliers < 15:
             # pre-stage or local-map tracking failed -> relocalize or LOST
@@ -604,10 +615,12 @@ class System:
         c2 = (n_inliers < self.n_inliers_ref * cfg.ref_ratio) or need_close
         if ((c1a or (c1b and c2)) and n_inliers > 15
                 and not cfg.localization_only):
-            self._create_keyframe(frame, out)
+            self._create_keyframe(frame, out, R_np, t_np)
         self._record(timestamp, lost=False)
 
-    def _create_keyframe(self, frame: FrameData, out):
+    _pending_kf_info = None
+
+    def _create_keyframe(self, frame: FrameData, out, R_np=None, t_np=None):
         if self.n_kf >= self.cfg.map.max_kf:
             return
         cfg = self.cfg
@@ -621,18 +634,22 @@ class System:
             n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
             ba_iters=cfg.ba_iters)
         self.ms = ko.ms
-        info = np.asarray(ko.info)   # the one keyframe-path fetch
-        self.n_mp += int(info[0]) + int(info[1])
         self.n_kf += 1
         self.kf_maps.append(self.active_map)
         self.ref_kf = slot
         self.last_kf_frame = self.frame_id
         self.last_matched = self.ms.obs_mp[slot]
-        self.n_inliers_ref = int(info[5])
-        self._ref_pose_np = (info[6:15].reshape(3, 3).astype(np.float32),
-                             info[15:18].astype(np.float32))
-        self.last_R, self.last_t = self._ref_pose_np
-        window = [int(v) for v in info[18:] if v >= 0]
+        if R_np is not None:
+            # the keyframe's dispatch-time pose IS the tracked pose; the
+            # BA-refined pose arrives with the deferred info next frame
+            # (the reference likewise records frame poses relative to the
+            # ref KF's pose at tracking time, src/Tracking.cc:2285-2306)
+            self._ref_pose_np = (R_np, t_np)
+            self._flush_pending_info()
+            self._pending_kf_info = (slot, ko.info)
+        else:
+            # synchronous path (initialization)
+            self._integrate_kf_info(slot, np.asarray(ko.info))
         self._tic(t0, "keyframe_step")
         if self.cfg.use_imu:
             rows = (np.concatenate(self._imu_accum)
@@ -647,10 +664,26 @@ class System:
             # trusts LocalInertialBA after the staged inits)
             if self.imu_initialized and getattr(self, "_imu_stage", 0) >= 2:
                 self._inertial_window_ba(slot)
+
+    def _integrate_kf_info(self, slot: int, info: np.ndarray):
+        """Apply a keyframe step's packed scalars to the host schedule
+        (counters, BA-refined ref pose, sparsifier + loop-closer feeds)."""
+        self.n_mp += int(info[0]) + int(info[1])
+        self.n_inliers_ref = int(info[5])
+        if self.ref_kf == slot:
+            self._ref_pose_np = (info[6:15].reshape(3, 3).astype(np.float32),
+                                 info[15:18].astype(np.float32))
+        window = [int(v) for v in info[18:] if v >= 0]
         if self._sparsifier is not None:
             self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
             self._loop_closer.insert_keyframe(slot)
+
+    def _flush_pending_info(self):
+        if self._pending_kf_info is not None:
+            slot, info = self._pending_kf_info
+            self._pending_kf_info = None
+            self._integrate_kf_info(slot, np.asarray(info))
 
     def _relocalize(self, frame: FrameData):
         """Relocalization against the sparsified keyframe database (ref
