@@ -159,12 +159,19 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     """
     C = kf_R.shape[0]
     P = mp_pos.shape[0]
+    F_ = f_cam.shape[0]
     dt = kf_R.dtype
     params = params.astype(dt)
     bf = jnp.asarray(bf, dt)
     is_stereo = f_ur >= 0.0
     w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
     hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    # one-hot point-assignment matrices: Hessian-block accumulation becomes
+    # MXU matmuls instead of scatter-adds (a TPU scatter serializes; the
+    # matmul runs in the working dtype so results match the scatter form)
+    oh_p = jax.nn.one_hot(f_pt, P, dtype=dt)                    # (F,P)
+    oh_c = jax.nn.one_hot(f_cam, C, dtype=dt)                   # (F,C)
 
     def iteration(state, keep):
         R_all, t_all, P_all = state
@@ -184,12 +191,12 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
         JcW = Jc * w[:, None, None]
         JpW = Jp * w[:, None, None]
 
-        Hcc = jnp.zeros((C, 6, 6), dt).at[f_cam].add(
-            jnp.einsum("fij,fik->fjk", JcW, Jc))
+        outer_c = jnp.einsum("fij,fik->fjk", JcW, Jc).reshape(F_, 36)
+        Hcc = (oh_c.T @ outer_c).reshape(C, 6, 6)
         bc = jnp.zeros((C, 6), dt).at[f_cam].add(
             -jnp.einsum("fij,fi->fj", JcW, res))
-        Hpp = jnp.zeros((P, 3, 3), dt).at[f_pt].add(
-            jnp.einsum("fij,fik->fjk", JpW, Jp))
+        outer_p = jnp.einsum("fij,fik->fjk", JpW, Jp).reshape(F_, 9)
+        Hpp = (oh_p.T @ outer_p).reshape(P, 3, 3)
         bp = jnp.zeros((P, 3), dt).at[f_pt].add(
             -jnp.einsum("fij,fi->fj", JpW, res))
         # coupling W_(p,c) scattered dense over (P, C, 6, 3); camera-major
@@ -213,8 +220,12 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
             (jnp.arange(C)[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
             (jnp.arange(C)[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
         ].set(Hcc)
-        S = Hcc_big - jnp.einsum("pax,pxy,pby->ab", W, Hpp_inv, W)
-        v = bc.reshape(C * 6) - jnp.einsum("pax,pxy,py->a", W, Hpp_inv, bp)
+        # S as a true 2-D matmul (84, 3P)x(3P, 84) so the MXU tiles it
+        Y = jnp.einsum("pax,pxy->pay", W, Hpp_inv)
+        Yr = Y.transpose(1, 0, 2).reshape(C * 6, P * 3)
+        Wr = W.transpose(1, 0, 2).reshape(C * 6, P * 3)
+        S = Hcc_big - Yr @ Wr.T
+        v = bc.reshape(C * 6) - Yr @ bp.reshape(P * 3)
 
         dxc = jnp.linalg.solve(S + 1e-8 * jnp.eye(C * 6, dtype=dt), v)
         dxp = jnp.einsum("pxy,py->px", Hpp_inv,

@@ -379,6 +379,22 @@ class System:
             "mp_compressed": self.compressed_map_points_in_map(),
         }
 
+    def print_time_stats(self, file=None):
+        """Per-stage timing summary (ref the REGISTER_TIMES instrumentation,
+        include/Tracking.h:187-201 + Tracking::PrintTimeStats,
+        src/Tracking.cc:263 — there compile-gated, here always available)."""
+        import sys as _sys
+        file = file or _sys.stderr
+        print("stage              n      mean      median     p95    total",
+              file=file)
+        for k, v in sorted(self.timing.items()):
+            a = np.asarray(v)
+            if not len(a):
+                continue
+            print(f"{k:<16} {len(a):>4} {a.mean()*1e3:8.2f}ms "
+                  f"{np.median(a)*1e3:8.2f}ms {np.percentile(a, 95)*1e3:7.1f}"
+                  f"ms {a.sum():7.2f}s", file=file)
+
     # -- localization-only mode (ref System::ActivateLocalizationMode /
     # DeactivateLocalizationMode, src/System.cc:219-257: tracking continues
     # against the frozen map; local mapping is paused) -------------------

@@ -19,6 +19,18 @@ from ..models.map_state import MapState
 FORMAT_VERSION = 1
 
 
+def md5_of_file(path: str) -> str:
+    """Hex MD5 of a file (ref System::CalculateCheckSum,
+    /root/reference/src/System.cc:1102-1140, used there to fingerprint the
+    vocabulary; here useful for checkpoint integrity)."""
+    import hashlib
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def save_map(path: str, system) -> None:
     arrays = {f"ms_{k}": np.asarray(v)
               for k, v in system.ms._asdict().items()}
