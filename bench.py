@@ -1,24 +1,32 @@
-"""Benchmark: stereo tracking throughput on KITTI-sized frames.
+"""Benchmark: FULL-SYSTEM stereo tracking throughput on KITTI-sized frames.
 
-Runs the full per-frame pipeline (ORB frontend + stereo + local-map
-tracking + keyframe/local-mapping work amortized) on a rendered synthetic
-world at KITTI geometry (1241x376 -> padded 1248x384, 2048 features,
-reference config Examples/Stereo/KITTI00-02.yaml) and reports steady-state
+Runs the complete per-frame pipeline — ORB frontend + stereo + local-map
+tracking + keyframe/local-mapping + sliding-window MAP SPARSIFICATION +
+LOOP-CLOSING place recognition (all four reference "threads") — on a
+rendered synthetic world at KITTI geometry (1241x376 -> padded 1248x384,
+2048 features, reference config Examples/Stereo/KITTI00-02.yaml:
+Sparsification.N=100, Lambda=500, GridLambda=10) and reports steady-state
 frames/s.
 
-Baseline: the reference runs KITTI stereo in real time on CPU; ORB-SLAM3's
-published mean stereo tracking time on KITTI-class sequences is ~40ms/frame
-(~25 fps). vs_baseline = our_fps / 25.
+Baseline: the reference runs KITTI stereo in real time on CPU with all four
+threads live; ORB-SLAM3's published mean stereo tracking time on KITTI-class
+sequences is ~40ms/frame (~25 fps). vs_baseline = our_fps / 25.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: repeat bench runs skip XLA compilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 BASELINE_FPS = 25.0
 
@@ -47,11 +55,18 @@ def main():
                       local_mp_cap=4096, window_kf=6),
         min_init_depth_points=300,
         max_frames_between_kf=10,
+        # the headline feature runs IN the measured loop (reference KITTI
+        # params N=100/lambda=500/grid 10; NonLocalKF scaled to the bench's
+        # keyframe count so windows actually solve during the run)
+        sparsify=True, sparsify_n=100, sparsify_lambda=500.0,
+        sparsify_grid_lambda=10.0, sparsify_window=10,
+        sparsify_queue_min=4, nonlocal_kf=4,
+        loop_closing=True,
     )
 
     rng = np.random.default_rng(0)
     world = synth.PlaneWorld(rng, z_wall=25.0, y_floor=1.7, tex_scale=0.04)
-    n_frames = 40
+    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
     poses = synth.make_trajectory(n_frames, "forward")
 
     t0 = time.time()
@@ -59,24 +74,33 @@ def main():
     print(f"# rendered {n_frames} frames in {time.time()-t0:.1f}s "
           f"on {jax.devices()[0].platform}", file=sys.stderr)
 
-    slam = System(cfg)
-    # warmup / compile
-    for i in range(3):
-        slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i)
-    t0 = time.time()
-    n_meas = 0
-    for i in range(3, n_frames):
-        nxt = frames[i + 1] if i + 1 < n_frames else None
-        slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i,
-                          next_images=nxt)
-        n_meas += 1
-    dt = time.time() - t0
-    fps = n_meas / dt
-    print(f"# tracked {n_meas} frames in {dt:.2f}s; state={slam.state} "
-          f"kf={slam.keyframes_in_map()} mp={slam.map_points_in_map()}",
-          file=sys.stderr)
+    def run(tag):
+        slam = System(cfg)
+        t0 = time.time()
+        for i in range(n_frames):
+            nxt = frames[i + 1] if i + 1 < n_frames else None
+            slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i,
+                              next_images=nxt)
+        slam._flush_pipeline()
+        dt = time.time() - t0
+        print(f"# {tag}: {n_frames} frames in {dt:.2f}s; "
+              f"state={slam.state} kf={slam.keyframes_in_map()} "
+              f"mp={slam.map_points_in_map()} "
+              f"sparsified_windows={slam._sparsifier.stats['windows']} "
+              f"lc_queries={slam._loop_closer.stats['queries']}",
+              file=sys.stderr)
+        if os.environ.get("BENCH_VERBOSE"):
+            slam.print_time_stats()
+        return n_frames / dt
+
+    # pass 1 compiles every kernel on this sequence (tracking, keyframe +
+    # mapping, sparsification windows, loop-closing queries); pass 2 on a
+    # fresh System measures steady-state throughput — what the always-on
+    # reference process delivers (it pays no JIT either)
+    run("warmup")
+    fps = run("measured")
     print(json.dumps({
-        "metric": "stereo_track_fps_kitti_size",
+        "metric": "stereo_track_fps_kitti_size_full_system",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

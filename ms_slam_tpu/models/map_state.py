@@ -52,6 +52,7 @@ class MapState(NamedTuple):
     kf_valid: jnp.ndarray        # (K,) bool
     kf_sparsified: jnp.ndarray   # (K,) bool   (ref KeyFrame::mbSparsified)
     kf_frame_id: jnp.ndarray     # (K,) int32
+    kf_ord: jnp.ndarray          # (K,) int32 creation ordinal of occupant
     kf_miss: jnp.ndarray         # (K,) int32 consecutive non-local count
     # per-keyframe features
     kp_xy: jnp.ndarray           # (K,N,2) float32 undistorted level-0 coords
@@ -69,9 +70,16 @@ class MapState(NamedTuple):
     mp_max_dist: jnp.ndarray     # (M,)
     mp_valid: jnp.ndarray        # (M,) bool
     mp_sparsified: jnp.ndarray   # (M,) bool (kept by the selector)
-    mp_first_kf: jnp.ndarray     # (M,) int32
+    mp_first_kf: jnp.ndarray     # (M,) int32 reference keyframe SLOT
+    mp_first_ord: jnp.ndarray    # (M,) int32 keyframe ORDINAL at creation
+    #   (slot is for pose re-anchoring; ordinal for culling age — they
+    #   diverge once pool slots are recycled)
     mp_visible: jnp.ndarray      # (M,) int32 frustum-visible count
     mp_found: jnp.ndarray        # (M,) int32 tracked-inlier count
+    mp_quarantine: jnp.ndarray   # (M,) int32 mapping-steps before a freed
+    #   slot may be reused — in-flight frames still hold the dead id for up
+    #   to ~2 steps (ABA guard; the reference gets this from shared_ptr
+    #   keeping dead MapPoints alive while a Frame references them)
 
 
 def empty_map(cfg: MapConfig) -> MapState:
@@ -83,6 +91,7 @@ def empty_map(cfg: MapConfig) -> MapState:
         kf_valid=jnp.zeros((K,), bool),
         kf_sparsified=jnp.zeros((K,), bool),
         kf_frame_id=jnp.zeros((K,), i32),
+        kf_ord=jnp.zeros((K,), i32),
         kf_miss=jnp.zeros((K,), i32),
         kp_xy=jnp.zeros((K, N, 2), f32),
         kp_octave=jnp.zeros((K, N), i32),
@@ -99,8 +108,10 @@ def empty_map(cfg: MapConfig) -> MapState:
         mp_valid=jnp.zeros((M,), bool),
         mp_sparsified=jnp.zeros((M,), bool),
         mp_first_kf=jnp.zeros((M,), i32),
+        mp_first_ord=jnp.zeros((M,), i32),
         mp_visible=jnp.zeros((M,), i32),
         mp_found=jnp.zeros((M,), i32),
+        mp_quarantine=jnp.zeros((M,), i32),
     )
 
 
@@ -199,15 +210,18 @@ def gather_local_points(ms: MapState, mask: jnp.ndarray, cap: int):
 def insert_keyframe(ms: MapState, slot: jnp.ndarray,
                     R: jnp.ndarray, t: jnp.ndarray,
                     xy, octave, desc, uright, depth, kp_valid, obs_mp,
-                    frame_id) -> MapState:
+                    frame_id, kf_ord=None) -> MapState:
     """Write a keyframe into pool slot (ref Tracking::CreateNewKeyFrame +
     LocalMapping::ProcessNewKeyFrame insertion half)."""
+    if kf_ord is None:
+        kf_ord = slot
     return ms._replace(
         kf_R=ms.kf_R.at[slot].set(R),
         kf_t=ms.kf_t.at[slot].set(t),
         kf_valid=ms.kf_valid.at[slot].set(True),
         kf_sparsified=ms.kf_sparsified.at[slot].set(False),
         kf_frame_id=ms.kf_frame_id.at[slot].set(frame_id),
+        kf_ord=ms.kf_ord.at[slot].set(kf_ord),
         kf_miss=ms.kf_miss.at[slot].set(0),
         kp_xy=ms.kp_xy.at[slot].set(xy),
         kp_octave=ms.kp_octave.at[slot].set(octave),
@@ -219,12 +233,38 @@ def insert_keyframe(ms: MapState, slot: jnp.ndarray,
     )
 
 
+def alloc_map_slots(ms: MapState, new_mask: jnp.ndarray):
+    """Free-slot allocator: the k-th set bit of new_mask gets the k-th FREE
+    pool slot. This is the TPU-native replacement for the reference's heap
+    allocation + shared_ptr release (src/MapPoint.cc:227-254 SetBadFlag
+    actually frees memory): slots of deleted points are recycled, so the
+    fixed pool survives unbounded sequences.
+
+    Returns (slots, ok): slots[i] is the allocated pool slot for feature i
+    (== M when the pool is full and the point is dropped), ok = new_mask
+    restricted to successful allocations."""
+    Mc = ms.mp_valid.shape[0]
+    free = ~ms.mp_valid & (ms.mp_quarantine <= 0)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    # table: k-th free slot id
+    tgt = jnp.where(free, free_rank, Mc)
+    kth_free = jnp.full((Mc,), Mc, jnp.int32).at[tgt].set(
+        jnp.arange(Mc, dtype=jnp.int32), mode="drop")
+    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    ok = new_mask & (rank < n_free)
+    slots = jnp.where(ok, kth_free[jnp.clip(rank, 0, Mc - 1)], Mc)
+    return slots.astype(jnp.int32), ok
+
+
 def add_map_points(ms: MapState, slots: jnp.ndarray, valid: jnp.ndarray,
                    pos: jnp.ndarray, desc: jnp.ndarray, normal: jnp.ndarray,
                    min_dist: jnp.ndarray, max_dist: jnp.ndarray,
-                   first_kf) -> MapState:
+                   first_kf, first_ord=None) -> MapState:
     """Batch-allocate map points into given slots where valid."""
     sl = jnp.where(valid, slots, ms.mp_pos.shape[0])  # drop invalid
+    if first_ord is None:
+        first_ord = first_kf
     return ms._replace(
         mp_pos=ms.mp_pos.at[sl].set(pos, mode="drop"),
         mp_desc=ms.mp_desc.at[sl].set(desc, mode="drop"),
@@ -234,17 +274,46 @@ def add_map_points(ms: MapState, slots: jnp.ndarray, valid: jnp.ndarray,
         mp_valid=ms.mp_valid.at[sl].set(True, mode="drop"),
         mp_sparsified=ms.mp_sparsified.at[sl].set(False, mode="drop"),
         mp_first_kf=ms.mp_first_kf.at[sl].set(first_kf, mode="drop"),
+        mp_first_ord=ms.mp_first_ord.at[sl].set(first_ord, mode="drop"),
         mp_visible=ms.mp_visible.at[sl].set(1, mode="drop"),
         mp_found=ms.mp_found.at[sl].set(1, mode="drop"),
     )
 
 
+@jax.jit
+def refresh_mp_refs(ms: MapState) -> MapState:
+    """Re-point STALE point->reference-keyframe links at the point's oldest
+    current valid observer. A link is stale when the stored slot was culled
+    or recycled by a different keyframe (detected by creation-ordinal
+    mismatch). Needed before pose-graph point re-anchoring (the reference's
+    MapPoint::mpRefKF is re-assigned on EraseObservation,
+    src/MapPoint.cc:190-200); fresh links are kept — the creating keyframe
+    is the semantically right anchor."""
+    K, N = ms.obs_mp.shape
+    Mc = ms.mp_pos.shape[0]
+    ref0 = jnp.clip(ms.mp_first_kf, 0, K - 1)
+    fresh = ms.kf_valid[ref0] & (ms.kf_ord[ref0] == ms.mp_first_ord)
+    obs = jnp.where(ms.kf_valid[:, None], ms.obs_mp, -1).reshape(-1)
+    kf_of = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)).reshape(-1)
+    key = ms.kf_ord[kf_of] * K + kf_of          # packed (ordinal, slot)
+    tgt = jnp.where(obs >= 0, obs, Mc)
+    sentinel = jnp.iinfo(jnp.int32).max
+    best = jnp.full((Mc,), sentinel, jnp.int32).at[tgt].min(
+        key, mode="drop")
+    fallback = jnp.where(best < sentinel, best % K, ms.mp_first_kf)
+    ref = jnp.where(fresh, ms.mp_first_kf, fallback)
+    return ms._replace(mp_first_kf=ref.astype(jnp.int32))
+
+
 def delete_map_points(ms: MapState, kill_mask: jnp.ndarray) -> MapState:
     """Functional SetBadFlag for a batch of points: clear validity and every
-    observation referencing them (ref src/MapPoint.cc:227-254)."""
+    observation referencing them (ref src/MapPoint.cc:227-254). Freed slots
+    enter a 2-step quarantine before the allocator may recycle them."""
     obs_bad = kill_mask[jnp.clip(ms.obs_mp, 0)] & (ms.obs_mp >= 0)
     return ms._replace(
         mp_valid=ms.mp_valid & ~kill_mask,
+        mp_quarantine=jnp.where(kill_mask, 2, ms.mp_quarantine),
         obs_mp=jnp.where(obs_bad, -1, ms.obs_mp),
     )
 

@@ -54,10 +54,11 @@ def pose_vel_bias_optimize(
     X: jnp.ndarray, uv: jnp.ndarray, u_right: jnp.ndarray,
     sigma2: jnp.ndarray, mask: jnp.ndarray,
     walk_info: jnp.ndarray,  # (6,) gyro/acc random-walk information diag
-    n_rounds: int = 4, n_iters: int = 6,
+    n_rounds: int = 4, n_iters: int = 6, g: jnp.ndarray = None,
 ) -> PVBResult:
     """Optimize the current body state given the last state and visual
-    matches. T_bc: camera-from-body extrinsics (ref IMU::Calib mTbc)."""
+    matches. T_bc: camera-from-body extrinsics (ref IMU::Calib mTbc).
+    g: world gravity vector (default canonical [0,0,-G])."""
     dt = R2.dtype
     is_stereo = u_right >= 0.0
     w_info = 1.0 / jnp.maximum(sigma2, 1e-12)
@@ -90,7 +91,7 @@ def pose_vel_bias_optimize(
         R, p, v, bg, ba = unpack(x)
         rv, _ = visual_res(R, p)
         rv = rv * jnp.sqrt(vis_w)[:, None]
-        ri = imu.inertial_residual(preint, R1, v1, p1, R, v, p, bg, ba)
+        ri = imu.inertial_residual(preint, R1, v1, p1, R, v, p, bg, ba, g)
         ri_w = L9.T @ ri
         rb = jnp.concatenate([bg - bg1, ba - ba1]) * jnp.sqrt(walk_info)
         return jnp.concatenate([rv.reshape(-1), ri_w, rb])

@@ -437,6 +437,148 @@ def descriptors_from_patches(patches: jnp.ndarray,
     return pack_bits(bits)
 
 
+# ---------------------------------------------------------------------------
+# Canvas-packed extraction: all pyramid levels side-by-side in ONE (H, Wc)
+# plane per image instead of L full-size padded planes. The stack layout
+# wastes ~60% of its pixels as padding (level l occupies 1/1.44^l of its
+# plane); the canvas packs levels at cell-aligned column offsets, cutting
+# FAST + NMS work ~1.7x. Detection/extraction semantics are identical.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache()
+def canvas_layout(h: int, w: int, cfg: OrbConfig):
+    """Per-level column offsets in the packed canvas + canvas width.
+
+    Offsets are cell_size-aligned so every detection cell belongs to exactly
+    one level; Wc is padded to a multiple of 128 (TPU lane width)."""
+    shapes = pyramid_shapes(h, w, cfg)
+    cs = cfg.cell_size
+    offs, x = [], 0
+    for (lh, lw) in shapes:
+        offs.append(x)
+        x += ((lw + cs - 1) // cs) * cs
+    lcm = cs * 128 // np.gcd(cs, 128)
+    Wc = ((x + lcm - 1) // lcm) * lcm
+    return tuple(offs), Wc, tuple(shapes)
+
+
+def build_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """(B,H,W) -> (B,H,Wc) packed canvases (level l at columns
+    [off_l, off_l+w_l), rows [0, h_l))."""
+    B, h, w = imgs.shape
+    offs, Wc, shapes = canvas_layout(h, w, cfg)
+    parts = []
+    for l, (lh, lw) in enumerate(shapes):
+        img_l = imgs if l == 0 else jax.image.resize(
+            imgs, (B, lh, lw), method="bilinear")
+        seg_w = (offs[l + 1] if l + 1 < len(offs) else Wc) - offs[l]
+        parts.append(jnp.pad(img_l, ((0, 0), (0, h - lh), (0, seg_w - lw))))
+    return jnp.concatenate(parts, axis=2)
+
+
+@functools.lru_cache()
+def _canvas_masks(h: int, w: int, cfg: OrbConfig):
+    """Static in-bounds mask (H,Wc) + cell->level map for the canvas."""
+    offs, Wc, shapes = canvas_layout(h, w, cfg)
+    e = max(cfg.edge, EXTRACT_R + 1)
+    m = np.zeros((h, Wc), bool)
+    for l, (lh, lw) in enumerate(shapes):
+        m[e:lh - e, offs[l] + e:offs[l] + lw - e] = True
+    cs = cfg.cell_size
+    ghc, gwc = -(-h // cs), Wc // cs
+    cell_lvl = np.full((ghc * gwc,), -1, np.int32)
+    for l in range(cfg.n_levels):
+        x0 = offs[l] // cs
+        x1 = (offs[l + 1] // cs) if l + 1 < len(offs) else gwc
+        for gy in range(ghc):
+            cell_lvl[gy * gwc + x0:gy * gwc + x1] = l
+    return m, cell_lvl, ghc, gwc
+
+
+def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
+    """All-level detection on packed canvases (B,H,Wc). Returns per-image
+    (B,N) arrays: level, y, x_canvas, score, valid."""
+    B, h, Wc = canvas.shape
+    cs = cfg.cell_size
+    score = fast_score_batched(canvas, cfg.min_th)
+    m, cell_lvl, ghc, gwc = _canvas_masks(h, w, cfg)
+    score = jnp.where(jnp.asarray(m)[None], score, 0.0)
+    mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (1, 3, 3),
+                               (1, 1, 1), "SAME")
+    score = jnp.where(score >= mx, score, 0.0)
+    BONUS = 1e4
+    rank = jnp.where(score >= cfg.ini_th, score + BONUS, score)
+
+    nc = ghc * gwc
+    rank = jnp.pad(rank, ((0, 0), (0, ghc * cs - h), (0, 0)))
+    cells = rank.reshape(B, ghc, cs, gwc, cs).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(B, nc, cs * cs)
+    k = min(cfg.cell_top_k, cs * cs)
+    top_v, top_i = jax.lax.approx_max_k(cells, k)       # (B, nc, k)
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (B, nc, k), 1)
+    cy = (cell_ids // gwc) * cs + top_i // cs
+    cx = (cell_ids % gwc) * cs + top_i % cs
+    cell_lvl_j = jnp.asarray(cell_lvl)
+
+    ys, xs, lv, sc, va = [], [], [], [], []
+    flat_v = top_v.reshape(B, nc * k)
+    flat_y = cy.reshape(B, nc * k)
+    flat_x = cx.reshape(B, nc * k)
+    for l, quota in enumerate(cfg.level_quotas()):
+        vals = jnp.where((cell_lvl_j == l)[None, :, None], top_v,
+                         -1.0).reshape(B, nc * k)
+        v, i = jax.lax.top_k(vals, quota)                # (B, quota)
+        ys.append(jnp.take_along_axis(flat_y, i, axis=1))
+        xs.append(jnp.take_along_axis(flat_x, i, axis=1))
+        lv.append(jnp.full((B, quota), l, jnp.int32))
+        sc.append(jnp.where(v >= 1e4, v - 1e4, v))
+        va.append(v > 0.0)
+    return (jnp.concatenate(lv, 1), jnp.concatenate(ys, 1),
+            jnp.concatenate(xs, 1), jnp.concatenate(sc, 1),
+            jnp.concatenate(va, 1))
+
+
+def extract_patches_canvas(canvas: jnp.ndarray, bi, ys, xs) -> jnp.ndarray:
+    """One (2R+1)^2 raw patch per keypoint from its image's canvas."""
+    E = 2 * EXTRACT_R + 1
+    bi = bi.astype(jnp.int32)
+    ys = ys.astype(jnp.int32)
+    xs = xs.astype(jnp.int32)
+
+    def one(b, y, x):
+        return jax.lax.dynamic_slice(
+            canvas, (b, y - EXTRACT_R, x - EXTRACT_R), (1, E, E))[0]
+
+    return jax.vmap(one)(bi, ys, xs)
+
+
+def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
+    """Canvas-packed full extraction for B images: FAST + NMS + top-k on one
+    packed plane per image, then the patch-based MXU orientation/descriptor
+    pipeline. Returns (Features (B,...), canvases (B,H,Wc))."""
+    B, h, w = imgs.shape
+    offs, Wc, shapes = canvas_layout(h, w, cfg)
+    canvas = build_canvas_multi(imgs, cfg)
+    lv, ys, xs, sc, va = detect_canvas(canvas, w, cfg)   # (B,N) each
+    n = cfg.n_features
+    bi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                          (B, n)).reshape(-1)
+    patches = extract_patches_canvas(canvas, bi, ys.reshape(-1),
+                                     xs.reshape(-1))
+    ang = orientation_from_patches(patches)
+    desc = descriptors_from_patches(patches, ang)
+
+    scales = jnp.asarray(cfg.level_scales(), jnp.float32)
+    offs_j = jnp.asarray(offs, jnp.int32)
+    x_lvl = (xs - offs_j[lv]).astype(jnp.float32)
+    xy0 = jnp.stack([x_lvl, ys.astype(jnp.float32)],
+                    axis=-1) * scales[lv][..., None]
+    feats = Features(
+        xy=xy0, response=sc, angle=ang.reshape(B, n), octave=lv,
+        desc=desc.reshape(B, n, 8), valid=va)
+    return feats, canvas
+
+
 def build_pyramid_stack_multi(imgs: jnp.ndarray, cfg: OrbConfig):
     """(B,H,W) -> (B*L,H,W) padded stacks (image-major)."""
     B, h, w = imgs.shape
@@ -461,4 +603,5 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     Returns Features with capacity cfg.n_features; invalid slots masked.
     Equivalent surface to ORBextractor::operator()
     (ref include/ORBextractor.h:57)."""
-    return extract_stack(img, cfg)[0]
+    feats, _ = extract_canvas_multi(img[None], cfg)
+    return jax.tree.map(lambda a: a[0], feats)

@@ -72,13 +72,14 @@ def process_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
 def _process_stereo_impl(img_l, img_r, calib: Calib,
                          orb_cfg: orb.OrbConfig) -> FrameData:
     # images arrive uint8 (4x less host->device transfer) and are cast on
-    # device; BOTH images' pyramids extract in one (2L,H,W) batched stack
+    # device; BOTH images extract on canvas-packed pyramids in one batch
     imgs = jnp.stack([img_l, img_r]).astype(jnp.float32)
-    featsB, stacks, _ = orb.extract_stack_multi(imgs, orb_cfg)
+    featsB, canvases = orb.extract_canvas_multi(imgs, orb_cfg)
     feats_l = jax.tree.map(lambda a: a[0], featsB)
     feats_r = jax.tree.map(lambda a: a[1], featsB)
-    sm = stereo.match_stereo_stack(feats_l, feats_r, stacks[0], stacks[1],
-                                   calib.bf, calib.min_z, orb_cfg)
+    sm = stereo.match_stereo_canvas(feats_l, feats_r, canvases[0],
+                                    canvases[1], imgs.shape[2],
+                                    calib.bf, calib.min_z, orb_cfg)
     scale2 = jnp.asarray(
         [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
     sigma2 = scale2[feats_l.octave]
@@ -93,7 +94,8 @@ def process_rgbd(img: jnp.ndarray, depth_map: jnp.ndarray,
     from the registered depth map and synthesizes a virtual right coordinate
     uR = u - bf/d (ref Frame::ComputeStereoFromRGBD, src/Frame.cc)."""
     img = img.astype(jnp.float32)
-    feats, _, _ = orb.extract_stack(img, orb_cfg)
+    featsB, _ = orb.extract_canvas_multi(img[None], orb_cfg)
+    feats = jax.tree.map(lambda a: a[0], featsB)
     h, w = depth_map.shape
     ui = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
@@ -114,7 +116,8 @@ def process_mono(img: jnp.ndarray, calib: Calib,
     """Monocular frame: features only, no depth (ref the monocular Frame
     ctor, include/Frame.h:70)."""
     img = img.astype(jnp.float32)
-    feats, _, _ = orb.extract_stack(img, orb_cfg)
+    featsB, _ = orb.extract_canvas_multi(img[None], orb_cfg)
+    feats = jax.tree.map(lambda a: a[0], featsB)
     n = feats.xy.shape[0]
     scale2 = jnp.asarray(
         [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)

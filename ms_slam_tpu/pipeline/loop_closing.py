@@ -30,13 +30,16 @@ from .frontend import Calib
 
 MIN_RANSAC_INLIERS = 20
 CONSECUTIVE_NEEDED = 3
-COVIS_EDGE_MIN = 30     # essential-graph covisibility edge threshold
+# essential-graph extra-edge covisibility threshold (ref minFeat=100,
+# Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:1410 — calibrated
+# for 2000-feature frames; SystemConfig.loop_covis_min scales it for
+# smaller feature budgets)
+COVIS_EDGE_MIN = 100
 
 
-@partial(jax.jit, static_argnames=("calib", "with_scale"))
-def _verify_pair(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
-                 kf_b: jnp.ndarray, key: jnp.ndarray,
-                 with_scale: bool = False):
+def _verify_pair_impl(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
+                      kf_b: jnp.ndarray, key: jnp.ndarray,
+                      with_scale: bool = False):
     """Descriptor-match two keyframes and RANSAC-align their shared
     landmark geometry: returns (n_inliers, s, R, t) with (s,R,t) mapping
     keyframe-b camera coords into keyframe-a camera coords (scale free for
@@ -60,6 +63,58 @@ def _verify_pair(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
     res = sim3.sim3_ransac(calib.model, params, Xc_a, Xc_b, s2a, s2b[ib],
                            ok, key, n_hyp=128, with_scale=with_scale)
     return res.n_inliers, res.s, res.R, res.t
+
+
+_verify_pair = partial(jax.jit, static_argnames=("calib", "with_scale"))(
+    _verify_pair_impl)
+
+
+@partial(jax.jit, static_argnames=("calib", "with_scale", "k_cands"))
+def detect_and_verify(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
+                      present: jnp.ndarray, key: jnp.ndarray,
+                      min_score: jnp.ndarray, with_scale: bool,
+                      k_cands: int = 3):
+    """The whole per-keyframe place-recognition step as ONE device call
+    (ref LoopClosing::NewDetectCommonRegions, src/LoopClosing.cc:330 +
+    KeyFrameDatabase::DetectNBestCandidates :600): brute appearance scoring
+    over the sparsified database, covisibility exclusion, top-k candidate
+    selection, and geometric Sim3/SE3 RANSAC verification of each — the
+    host fetches one packed array per keyframe instead of doing 3-6
+    separate round trips.
+
+    Returns (packed (k,15), group (K,)): per candidate
+    [cand_slot, score, n_inl, s, t(3), R(9)]; group = covisibility mask of
+    the best verified candidate (for the consecutive-verification rule)."""
+    from ..models.vocab import place_scores
+    covis = M.covisibility_counts(ms, slot)
+    mask = (present & ms.kf_valid & (covis == 0)
+            & (jnp.arange(ms.kf_valid.shape[0]) != slot))
+    scores = place_scores(ms.kp_desc, ms.kp_valid, mask,
+                          ms.kp_desc[slot], ms.kp_valid[slot])
+    top_s, top_i = jax.lax.top_k(scores, k_cands)
+
+    def verify(i):
+        c = top_i[i]
+        worth = top_s[i] > min_score
+        n_inl, s, R, t = jax.lax.cond(
+            worth,
+            lambda: _verify_pair_impl(ms, calib, slot, c,
+                                      jax.random.fold_in(key, i),
+                                      with_scale=with_scale),
+            lambda: (jnp.zeros((), jnp.int32),
+                     jnp.ones((), jnp.float32),
+                     jnp.eye(3, dtype=jnp.float32),
+                     jnp.zeros(3, jnp.float32)))
+        return jnp.concatenate([
+            jnp.stack([c.astype(jnp.float32), top_s[i],
+                       n_inl.astype(jnp.float32), s]),
+            t, R.reshape(9)])
+
+    packed = jax.lax.map(verify, jnp.arange(k_cands))
+    best = jnp.argmax(packed[:, 2])
+    group = M.covisibility_counts(ms, top_i[best]) > 0
+    group = group.at[top_i[best]].set(True)
+    return packed, group
 
 
 @jax.jit
@@ -133,8 +188,11 @@ class LoopCloser:
         # monocular maps drift in scale -> Sim(3) verification and 7-DoF
         # essential graph (ref bFixScale=false for MONOCULAR/IMU-less)
         self.mono = (system.calib.bf or 0.0) <= 0.0
-        self.db = KeyFrameDatabase(n_words=n_words,
-                                   max_kf=system.cfg.map.max_kf)
+        # the sparsified-KF database is shared System state (reloc uses it
+        # too); a standalone one only exists for direct construction in
+        # tests
+        self.db = system.kf_db if system.kf_db is not None else \
+            KeyFrameDatabase(n_words=n_words, max_kf=system.cfg.map.max_kf)
         self.consecutive = 0
         self.last_cand_group: set[int] = set()
         self.key = jax.random.PRNGKey(7)
@@ -153,29 +211,25 @@ class LoopCloser:
             return
         self.stats["queries"] += 1
         ms = sys.ms
-        covis = np.array(M.covisibility_counts(ms, jnp.asarray(slot)))
-        exclude = set(np.where(covis > 0)[0].tolist()) | {slot}
-        cands, scores = self.db.query_brute(
-            ms.kp_desc, ms.kp_valid,
-            ms.kp_desc[slot], ms.kp_valid[slot], exclude=exclude, k=3)
+        self.key, sub = jax.random.split(self.key)
+        packed, group_m = detect_and_verify(
+            ms, sys.calib, jnp.asarray(slot),
+            jnp.asarray(self.db.present), sub,
+            jnp.asarray(0.05, jnp.float32), with_scale=self.mono)
+        packed, group_m = jax.device_get((packed, group_m))  # one fetch
+        packed = np.asarray(packed)
         best = None
-        for c in cands:
-            self.key, sub = jax.random.split(self.key)
-            n_inl, s, R, t = _verify_pair(ms, sys.calib, jnp.asarray(slot),
-                                          jnp.asarray(c), sub,
-                                          with_scale=self.mono)
-            if int(n_inl) >= MIN_RANSAC_INLIERS:
-                best = (c, float(s), np.asarray(R), np.asarray(t),
-                        int(n_inl))
-                break
+        row = packed[int(np.argmax(packed[:, 2]))]   # matches group_m's pick
+        c, n_inl = int(row[0]), int(row[2])
+        if n_inl >= MIN_RANSAC_INLIERS:
+            best = (c, float(row[3]), row[7:16].reshape(3, 3),
+                    row[4:7], n_inl)
         if best is None:
             self.consecutive = 0
             self.last_cand_group = set()
             return
         c = best[0]
-        group = set(np.where(
-            np.array(M.covisibility_counts(ms, jnp.asarray(c))) > 0)[0]
-        ) | {c}
+        group = set(np.where(np.asarray(group_m))[0].tolist()) | {c}
         if self.last_cand_group & group or not self.last_cand_group:
             self.consecutive += 1
         else:
@@ -237,7 +291,9 @@ class LoopCloser:
 
     def _fuse_and_optimize(self, cur: int, match: int):
         sys = self.sys
-        ms = sys.ms
+        # re-point stale point->reference-keyframe links before the graph
+        # moves points by their reference's pose delta (slots recycle)
+        sys.ms = ms = M.refresh_mp_refs(sys.ms)
 
         # fuse matched-side landmarks into the current keyframe
         from . import mapping_ops as mo
@@ -251,19 +307,23 @@ class LoopCloser:
         sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
                                    jnp.asarray(cur), c_idx, c_valid)
 
-        # essential graph: sequential chain + strong covis edges + loop edge
+        # essential graph: temporal chain (spanning-tree analog, via
+        # kf_order since pool slots are recycled) + strong covisibility
+        # edges (weight >= 100, ref OptimizeEssentialGraph minFeat=100,
+        # src/Optimizer.cc:1410) + the loop edge
         old_R = ms.kf_R
         old_t = ms.kf_t
         K = ms.kf_valid.shape[0]
         kf_valid = np.asarray(ms.kf_valid)
         covm = np.array(M.covisibility_matrix(ms))
         e_i, e_j, e_w = [], [], []
-        valid_list = [k for k in range(K) if kf_valid[k]]
+        valid_list = [k for k in sys.kf_order if kf_valid[k]]
         for a, b in zip(valid_list[1:], valid_list[:-1]):
             e_i.append(a)
             e_j.append(b)
             e_w.append(10.0)                      # spanning-tree analog
-        ii, jj = np.where(np.triu(covm, 1) >= COVIS_EDGE_MIN)
+        covis_min = getattr(sys.cfg, "loop_covis_min", COVIS_EDGE_MIN)
+        ii, jj = np.where(np.triu(covm, 1) >= covis_min)
         for a, b in zip(ii, jj):
             e_i.append(int(a))
             e_j.append(int(b))
@@ -272,16 +332,12 @@ class LoopCloser:
         e_j.append(match)
         e_w.append(20.0)                          # the loop edge
         E = len(e_i)
-        eR = np.zeros((E, 3, 3), np.float32)
-        et = np.zeros((E, 3), np.float32)
-        R_np = np.asarray(old_R)
-        t_np = np.asarray(old_t)
-        for n, (a, b) in enumerate(zip(e_i, e_j)):
-            Rz, tz = pose_graph.relative_pose(
-                jnp.asarray(R_np[a]), jnp.asarray(t_np[a]),
-                jnp.asarray(R_np[b]), jnp.asarray(t_np[b]))
-            eR[n] = np.asarray(Rz)
-            et[n] = np.asarray(tz)
+        ei_d = jnp.asarray(e_i, jnp.int32)
+        ej_d = jnp.asarray(e_j, jnp.int32)
+        # all edge measurements in ONE batched device call (was a Python
+        # loop with one dispatch per edge)
+        eR, et = jax.vmap(pose_graph.relative_pose)(
+            old_R[ei_d], old_t[ei_d], old_R[ej_d], old_t[ej_d])
         fixed = np.zeros(K, bool)
         fixed[match] = True
         fixed[~kf_valid] = True
@@ -315,8 +371,14 @@ class LoopCloser:
         sys.ms = mo.global_ba(sys.ms, sys.calib, sys.orb,
                               jnp.asarray(match), n_sweeps=2)
         self.loop_edges.append((cur, match))
-        # tracking must re-localize against the corrected map
+        # tracking must re-localize against the corrected map: drop the
+        # velocity model, reseed the device pose chain, and re-run any
+        # in-flight frames that tracked against the pre-correction map
         sys.vel = None
+        sys._has_vel = False
+        sys._Rt_dev = None
+        sys._Rt_dev2 = None
         sys.last_R = np.asarray(sys.ms.kf_R[cur])
         sys.last_t = np.asarray(sys.ms.kf_t[cur])
         sys._refresh_ref_pose()
+        sys._redispatch_inflight()

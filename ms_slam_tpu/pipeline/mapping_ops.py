@@ -34,20 +34,19 @@ def _scale2(orb_cfg: OrbConfig):
 @partial(jax.jit, static_argnames=("calib",))
 def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
                     frame: FrameData, R: jnp.ndarray, t: jnp.ndarray,
-                    matched_mp: jnp.ndarray, mp_base: jnp.ndarray,
+                    matched_mp: jnp.ndarray, kf_ord: jnp.ndarray,
                     frame_id: jnp.ndarray, depth_max: jnp.ndarray):
     """Insert a keyframe; spawn map points for stereo features without a
     map-point match, up to depth_max (th_depth normally; unbounded at map
     initialization, ref Tracking::StereoInitialization unprojects every
-    depth, src/Tracking.cc:2321-). Returns (ms, n_new)."""
+    depth, src/Tracking.cc:2321-). New points draw recycled slots from the
+    pool free-list (alloc_map_slots). Returns (ms, n_new)."""
     f = frame.feats
     params = calib.params_array()
     close = (frame.depth > 0) & (frame.depth <= depth_max)
     new_mask = f.valid & close & (matched_mp < 0)
-    offset = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
     M_cap = ms.mp_pos.shape[0]
-    slots = jnp.where(new_mask & (mp_base + offset < M_cap),
-                      mp_base + offset, M_cap)
+    slots, ok = M.alloc_map_slots(ms, new_mask)
     obs = jnp.where(matched_mp >= 0, matched_mp,
                     jnp.where(slots < M_cap, slots, -1)).astype(jnp.int32)
 
@@ -68,11 +67,13 @@ def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
     min_dist = max_dist / (sf ** (n_lv - 1))
 
     ms = M.insert_keyframe(ms, slot, R, t, f.xy, f.octave, f.desc,
-                           frame.u_right, frame.depth, f.valid, obs, frame_id)
-    ms = M.add_map_points(ms, jnp.where(new_mask, slots, M_cap), new_mask,
+                           frame.u_right, frame.depth, f.valid, obs, frame_id,
+                           kf_ord=kf_ord)
+    ms = M.add_map_points(ms, slots, ok,
                           Xw, f.desc, normal, min_dist, max_dist,
-                          jnp.broadcast_to(slot, new_mask.shape))
-    n_new = jnp.sum(new_mask & (slots < M_cap)).astype(jnp.int32)
+                          jnp.broadcast_to(slot, new_mask.shape),
+                          jnp.broadcast_to(kf_ord, new_mask.shape))
+    n_new = jnp.sum(ok).astype(jnp.int32)
     return ms, n_new
 
 
@@ -82,7 +83,7 @@ def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
 
 def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                       kf_a: jnp.ndarray, kf_b: jnp.ndarray,
-                      mp_base: jnp.ndarray):
+                      kf_ord: jnp.ndarray):
     """Create new map points by epipolar-matched triangulation between two
     keyframes (ref LocalMapping::CreateNewMapPoints /
     ORBmatcher::SearchForTriangulation). Returns (ms, n_new)."""
@@ -136,10 +137,9 @@ def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
             & (cos_par < 0.9998) & (cos_par > 0)
             & (ea < 5.991) & (eb < 5.991))
 
-    # allocate
+    # allocate from the pool free-list
     M_cap = ms.mp_pos.shape[0]
-    offset = jnp.cumsum(good.astype(jnp.int32)) - 1
-    slots = jnp.where(good & (mp_base + offset < M_cap), mp_base + offset, M_cap)
+    slots, ok = M.alloc_map_slots(ms, good)
 
     dist = jnp.linalg.norm(va, axis=-1)
     normal = va / jnp.maximum(dist, 1e-9)[:, None]
@@ -147,11 +147,12 @@ def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     max_dist = dist * level_scale
     min_dist = max_dist / (1.2 ** 7)
 
-    ms = M.add_map_points(ms, slots, good & (slots < M_cap), Xw,
+    ms = M.add_map_points(ms, slots, ok, Xw,
                           ms.kp_desc[kf_a], normal, min_dist, max_dist,
-                          jnp.broadcast_to(kf_a, good.shape))
+                          jnp.broadcast_to(kf_a, good.shape),
+                          jnp.broadcast_to(kf_ord, good.shape))
     # write observations in both keyframes
-    slot_or_neg = jnp.where(good & (slots < M_cap), slots, -1).astype(jnp.int32)
+    slot_or_neg = jnp.where(ok, slots, -1).astype(jnp.int32)
     obs_a = jnp.where(slot_or_neg >= 0, slot_or_neg, ms.obs_mp[kf_a])
     ms = ms._replace(obs_mp=ms.obs_mp.at[kf_a].set(obs_a))
     tgt_b = jnp.where(slot_or_neg >= 0, ib, ms.obs_mp.shape[1])
@@ -206,12 +207,15 @@ def _fuse_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     remap = jnp.arange(Mc, dtype=jnp.int32)
     remap = remap.at[jnp.where(conflict, loser, Mc)].set(
         jnp.where(conflict, winner, 0), mode="drop")
-    # kill losers and rewrite every observation through the remap
-    mp_valid = ms.mp_valid.at[jnp.where(conflict, loser, Mc)].set(
-        False, mode="drop")
+    # kill losers (with reuse quarantine) and rewrite every observation
+    # through the remap
+    loser_sl = jnp.where(conflict, loser, Mc)
+    mp_valid = ms.mp_valid.at[loser_sl].set(False, mode="drop")
+    mp_quar = ms.mp_quarantine.at[loser_sl].set(2, mode="drop")
     obs_all = ms.obs_mp.at[kf_t].set(new_row)
     obs_all = jnp.where(obs_all >= 0, remap[jnp.clip(obs_all, 0)], obs_all)
-    return ms._replace(obs_mp=obs_all, mp_valid=mp_valid)
+    return ms._replace(obs_mp=obs_all, mp_valid=mp_valid,
+                       mp_quarantine=mp_quar)
 
 
 fuse_into = partial(jax.jit, static_argnames=("calib", "orb_cfg"))(_fuse_impl)
@@ -303,43 +307,48 @@ local_ba = partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_fixed",
 class MappingStepOut(NamedTuple):
     ms: M.MapState
     info: jnp.ndarray
-    """(4 + Wk,) int32: [n_new_mp, n_factors, n_ba_outliers, n_culled,
-    window slots (-1 padded)] — one fetch per keyframe."""
+    """(4 + 2*Wk,) int32: [n_new_mp, n_factors, n_ba_outliers, n_culled,
+    window slots (-1 padded, Wk), culled KF slots (-1 padded, Wk)] — one
+    fetch per keyframe."""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
                                    "n_fixed", "pt_cap", "ba_iters"),
          donate_argnames=("ms",))
 def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
-                 kf_slot: jnp.ndarray, mp_base: jnp.ndarray,
+                 kf_slot: jnp.ndarray, kf_ord: jnp.ndarray,
                  n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
                  ba_iters: int) -> MappingStepOut:
     """The whole LocalMapping iteration as one device call (ref
     LocalMapping::Run body, src/LocalMapping.cc:68-: triangulation against
     covisible neighbors, duplicate fusion, windowed BA, point culling) —
-    replacing ~10 separate dispatches + host round trips per keyframe."""
-    mp_base = jnp.asarray(mp_base, jnp.int32)
+    replacing ~10 separate dispatches + host round trips per keyframe.
+    kf_ord: monotonically increasing keyframe ordinal (for culling age;
+    slot ids are recycled and no longer temporal)."""
+    kf_ord = jnp.asarray(kf_ord, jnp.int32)
+    # age the slot-reuse quarantine (one tick per mapping iteration)
+    ms = ms._replace(mp_quarantine=jnp.maximum(ms.mp_quarantine - 1, 0))
     # covisibility once: neighbors for triangulation AND the BA window
     counts = M.covisibility_counts(ms, kf_slot)
     top_w, top_i = jax.lax.top_k(counts, window_kf - 1 + n_fixed)
 
     # --- triangulation against the best n_tri neighbors (scanned) ---
     def tri_body(carry, nb):
-        ms, base = carry
+        ms, n_acc = carry
         nb_idx, nb_ok = nb
 
-        def do(ms_base):
-            ms, base = ms_base
+        def do(ms_n):
+            ms, n_acc = ms_n
             ms2, n_new = _triangulate_impl(ms, calib, orb_cfg, kf_slot,
-                                           nb_idx, base)
-            return ms2, base + n_new
+                                           nb_idx, kf_ord)
+            return ms2, n_acc + n_new
 
-        ms, base = jax.lax.cond(nb_ok, do, lambda x: x, (ms, base))
-        return (ms, base), None
+        ms, n_acc = jax.lax.cond(nb_ok, do, lambda x: x, (ms, n_acc))
+        return (ms, n_acc), None
 
     nb_ok = top_w[:n_tri] >= 10
-    (ms, mp_end), _ = jax.lax.scan(
-        tri_body, (ms, mp_base), (top_i[:n_tri], nb_ok))
+    (ms, n_tri_new), _ = jax.lax.scan(
+        tri_body, (ms, jnp.zeros((), jnp.int32)), (top_i[:n_tri], nb_ok))
 
     # --- fuse neighbor landmarks into the new keyframe ---
     nmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
@@ -370,7 +379,7 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     ms = outba.ms
 
     # --- point culling ---
-    ms, n_culled = _cull_impl(ms, kf_slot)
+    ms, n_culled = _cull_impl(ms, kf_ord)
 
     # --- keyframe culling (ref LocalMapping::KeyFrameCulling :925):
     # window keyframes (not the new one, not slot 0) whose tracked points
@@ -395,18 +404,21 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     win_mask = win_mask & ~kf_kill
 
     info = jnp.concatenate([
-        jnp.stack([mp_end - mp_base, outba.n_factors, outba.n_outliers,
+        jnp.stack([n_tri_new, outba.n_factors, outba.n_outliers,
                    n_culled]).astype(jnp.int32),
-        jnp.where(win_mask, win_idx, -1).astype(jnp.int32)])
+        jnp.where(win_mask, win_idx, -1).astype(jnp.int32),
+        # culled keyframe slots (feeds the host KF free-list)
+        jnp.where(kf_kill, win_idx, -1).astype(jnp.int32)])
     return MappingStepOut(ms=ms, info=info)
 
 
 class KeyframeStepOut(NamedTuple):
     ms: M.MapState
     info: jnp.ndarray
-    """(18 + Wk,) float32: [n_new_stereo, n_new_tri, n_factors,
+    """(18 + 2*Wk,) float32: [n_new_stereo, n_new_tri, n_factors,
     n_ba_outliers, n_culled, n_obs_kf, R_kf row-major (9), t_kf (3),
-    window slots (-1 padded)] — ONE fetch for the entire keyframe path."""
+    window slots (-1 padded, Wk), culled KF slots (-1 padded, Wk)] — ONE
+    fetch for the entire keyframe path."""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
@@ -415,7 +427,7 @@ class KeyframeStepOut(NamedTuple):
 def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                   slot: jnp.ndarray, frame: FrameData, R: jnp.ndarray,
                   t: jnp.ndarray, matched_mp: jnp.ndarray,
-                  mp_base: jnp.ndarray, frame_id: jnp.ndarray,
+                  kf_ord: jnp.ndarray, frame_id: jnp.ndarray,
                   depth_max: jnp.ndarray,
                   n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
                   ba_iters: int) -> KeyframeStepOut:
@@ -423,14 +435,22 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     call (create_keyframe then mapping_step), returning every scalar the
     host schedule needs — including the BA-refined keyframe pose — in a
     single packed array (one 46ms tunnel round trip instead of six)."""
-    mp_base = jnp.asarray(mp_base, jnp.int32)
+    kf_ord = jnp.asarray(kf_ord, jnp.int32)
     ms, n_stereo = create_keyframe(ms, calib, slot, frame, R, t, matched_mp,
-                                   mp_base, frame_id, depth_max)
-    out = mapping_step(ms, calib, orb_cfg, slot, mp_base + n_stereo,
+                                   kf_ord, frame_id, depth_max)
+    out = mapping_step(ms, calib, orb_cfg, slot, kf_ord,
                        n_tri=n_tri, window_kf=window_kf, n_fixed=n_fixed,
                        pt_cap=pt_cap, ba_iters=ba_iters)
     ms = out.ms
-    n_obs = jnp.sum(ms.obs_mp[slot] >= 0).astype(jnp.int32)
+    # reference-matches count for the keyframe decision: only points with
+    # >= 3 observations count (ref KeyFrame::TrackedMapPoints(minObs=3) via
+    # Tracking::NeedNewKeyFrame, src/Tracking.cc:3071-3075) — counting raw
+    # observations (mostly 1-obs spawns) makes every frame "weak" and spams
+    # keyframes
+    n_obs_all = M.mp_obs_count(ms)
+    row = ms.obs_mp[slot]
+    n_obs = jnp.sum((row >= 0)
+                    & (n_obs_all[jnp.clip(row, 0)] >= 3)).astype(jnp.int32)
     info = jnp.concatenate([
         jnp.stack([n_stereo, out.info[0], out.info[1], out.info[2],
                    out.info[3], n_obs]).astype(jnp.float32),
@@ -471,11 +491,12 @@ def global_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
 # Map point culling
 # ---------------------------------------------------------------------------
 
-def _cull_impl(ms: M.MapState, current_kf_count: jnp.ndarray):
+def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray):
     """Functional MapPointCulling (ref src/LocalMapping.cc:370): kill points
     with low found/visible ratio or too few observations soon after
-    creation. Ages are measured in keyframes inserted since creation."""
-    age = current_kf_count - ms.mp_first_kf
+    creation. Ages are measured in keyframes inserted since creation
+    (ordinals, not pool slots — slots are recycled)."""
+    age = current_kf_ord - ms.mp_first_ord
     n_obs = M.mp_obs_count(ms)
     ratio = ms.mp_found.astype(jnp.float32) / jnp.maximum(
         ms.mp_visible.astype(jnp.float32), 1.0)

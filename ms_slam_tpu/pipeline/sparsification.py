@@ -140,13 +140,21 @@ class Sparsifier:
         self.done: set[int] = set()
         self.stats = {"windows": 0, "killed": 0, "kept": 0}
 
+    def forget(self, slot: int):
+        """Drop bookkeeping for a culled/recycled keyframe slot."""
+        self.done.discard(slot)
+        self.miss.pop(slot, None)
+        if slot in self.queue:
+            self.queue.remove(slot)
+
     def observe_window(self, window_slots: list[int]):
         """Called after each local-mapping iteration with the BA window
         (ref UpdateCountInLocalMapping: consecutive misses make a KF
         non-local and feed it to sparsification)."""
         win = set(window_slots)
+        free = set(self.sys.kf_free)
         for k in range(self.sys.n_kf):
-            if k in self.done or k in self.queue:
+            if k in self.done or k in self.queue or k in free:
                 continue
             if k in win:
                 self.miss[k] = 0
@@ -186,14 +194,19 @@ class Sparsifier:
         self.stats["windows"] += 1
         self.stats["killed"] += int(out.n_killed)
         self.stats["kept"] += int(out.n_kept)
-        if sys._loop_closer is not None:
+        # sparsified keyframes enter the shared place-recognition database
+        # (ref LoopClosing::DeleteOutdatedInfo -> KeyFrameDatabase::add,
+        # src/LoopClosing.cc:318-326); reloc uses it even without a loop
+        # closer
+        if sys.kf_db is not None:
             for k in batch:
-                sys._loop_closer.insert_sparsified_keyframe(k)
+                sys.kf_db.add(k, sys.ms.kp_desc[k], sys.ms.kp_valid[k])
 
     def finish(self):
         """Sparsify everything left (ref MapSparsification.cc:38-52 on
         RequestFinish)."""
+        free = set(self.sys.kf_free)
         for k in range(self.sys.n_kf):
-            if k not in self.done and k not in self.queue:
+            if k not in self.done and k not in self.queue and k not in free:
                 self.queue.append(k)
         self.maybe_sparsify(force=True)

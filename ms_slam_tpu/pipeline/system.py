@@ -17,7 +17,9 @@ Public surface mirrors System (include/System.h:110-121):
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional
 
 import jax
@@ -32,6 +34,12 @@ from . import tracking_ops as to
 from .frontend import Calib, FrameData, process_stereo
 
 OK, NOT_INITIALIZED, RECENTLY_LOST, LOST = "OK", "NOT_INIT", "RECENTLY_LOST", "LOST"
+
+
+@partial(jax.jit, donate_argnames=("ms",))
+def _delete_one_kf(ms: M.MapState, slot: jnp.ndarray) -> M.MapState:
+    mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[slot].set(True)
+    return M.delete_keyframes(ms, mask)
 
 
 def matching_TH_LOW():
@@ -63,6 +71,9 @@ class SystemConfig:
     nonlocal_kf: int = 8
     # loop closing
     loop_closing: bool = False
+    # essential-graph extra-edge covisibility threshold (ref minFeat=100
+    # at 2000 features/frame; scale down for smaller feature budgets)
+    loop_covis_min: int = 100
     # inertial mode (stereo-inertial): IMU-aided prediction + staged
     # gravity/bias initialization (ref LocalMapping::InitializeIMU schedule)
     use_imu: bool = False
@@ -79,15 +90,31 @@ class SystemConfig:
     # localization-only mode (ref System::ActivateLocalizationMode,
     # src/System.cc:219-257): track against the frozen map, no new KFs
     localization_only: bool = False
+    # RECENTLY_LOST grace window before declaring LOST (ref
+    # time_recently_lost, src/Tracking.cc:1947-2018: IMU-predicted poses +
+    # relocalization retries for ~5s)
+    t_recently_lost: float = 5.0
 
 
 @dataclass
 class TrajectoryEntry:
     frame_id: int
     timestamp: float
-    ref_kf: int
+    ref_kf: int            # -1: T_cr is absolute (world) already
     T_cr: np.ndarray       # frame pose relative to reference keyframe
     lost: bool
+
+
+@dataclass
+class InFlight:
+    """A dispatched-but-not-fetched tracking step (the software pipeline
+    slot replacing the reference's Tracking-thread/LocalMapping-thread
+    overlap)."""
+    frame_id: int
+    timestamp: float
+    frame: FrameData
+    out: "to.TrackFullOut"
+    imu_used: bool
 
 
 class System:
@@ -96,8 +123,11 @@ class System:
         self.calib = cfg.calib
         self.orb = cfg.orb
         self.ms = M.empty_map(cfg.map)
-        self.n_kf = 0
-        self.n_mp = 0
+        self.n_kf = 0            # keyframe-pool high-water mark
+        self.kf_ord = 0          # total keyframes ever created (monotonic)
+        self.kf_free: list[int] = []   # recycled keyframe slots
+        self.kf_order: list[int] = []  # slots in temporal creation order
+        self.n_mp = 0            # total map points ever created (stats)
         self.state = NOT_INITIALIZED
         self.frame_id = -1
         self.last_R = np.eye(3, dtype=np.float32)
@@ -111,6 +141,22 @@ class System:
         self.n_inliers_ref = 0
         self.trajectory: list[TrajectoryEntry] = []
         self.timing: dict[str, list] = {}
+        # --- software pipeline (depth 2): device-resident tracking chain.
+        # Frame N+1's track is dispatched from these handles BEFORE frame
+        # N's stats are fetched, so the tunnel round trip never sits on the
+        # throughput path (ref: the Tracking thread runs concurrently with
+        # LocalMapping, src/System.cc:134-186).
+        self._inflight: deque[InFlight] = deque()
+        import os
+        self._pipeline_depth = int(os.environ.get("MSSLAM_PIPELINE_DEPTH",
+                                                  "2"))
+        self._Rt_dev = None          # (R,t) device handles, last tracked pose
+        self._Rt_dev2 = None         # previous pose (velocity model)
+        self._has_vel = False
+        self._v_dev = None           # device body velocity (inertial chain)
+        self._bias_dev = None        # device [bg, ba]
+        self._lost_ts: Optional[float] = None
+        self._prev_completed_ts: Optional[float] = None
         # multi-map atlas (ref Atlas, include/Atlas.h:58-114): map labels
         # live host-side; the observation graph keeps maps disjoint on
         # device. A fresh map starts after irrecoverable loss
@@ -136,6 +182,13 @@ class System:
         self.sparsify_queue: list[int] = []
         self._sparsifier = None
         self._loop_closer = None
+        # the sparsified-keyframe database is SYSTEM state (ref: the KFDB
+        # belongs to System, src/System.cc:118) — relocalization must work
+        # with loop closing disabled (VERDICT r1 item 4)
+        self.kf_db = None
+        if cfg.sparsify or cfg.loop_closing:
+            from ..models.vocab import KeyFrameDatabase
+            self.kf_db = KeyFrameDatabase(max_kf=cfg.map.max_kf)
         if cfg.sparsify:
             from .sparsification import Sparsifier
             self._sparsifier = Sparsifier(self)
@@ -194,7 +247,10 @@ class System:
         gz] measurements since the previous frame."""
         imu_rows = np.asarray(imu_rows, np.float32).reshape(-1, 7)
         self._imu_frame_rows = imu_rows
-        self._imu_accum.append(imu_rows)
+        # rows tagged with the frame they precede: keyframe creation is
+        # deferred one frame by the pipeline, so the per-keyframe segment
+        # split must not swallow the next frame's measurements
+        self._imu_accum.append((self.frame_id + 1, imu_rows))
         self._last_ts = timestamp
         return self.track_stereo(img_l, img_r, timestamp)
 
@@ -221,22 +277,35 @@ class System:
         img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
         frame = process_mono(jnp.asarray(img), self.calib, self.orb)
         self._tic(t0, "frontend")
-        t0 = time.perf_counter()
-        if self.state == NOT_INITIALIZED:
-            self._monocular_initialization(frame, timestamp)
-        else:
-            self._track(frame, timestamp)
-        self._tic(t0, "track")
-        return self.current_pose()
+        return self._advance(frame, timestamp,
+                             init_fn=self._monocular_initialization)
 
-    def _advance(self, frame: FrameData, timestamp: float) -> np.ndarray:
+    def _advance(self, frame: FrameData, timestamp: float,
+                 init_fn=None) -> np.ndarray:
+        """Per-frame state machine. In the OK state the tracking step is
+        dispatched immediately (all its inputs are device handles) and the
+        PREVIOUS frame's results are fetched afterwards — by then its stats
+        have been streaming back while this frame computed, so the fetch is
+        nearly free. Loss states run synchronously (they are rare and need
+        host decisions per frame)."""
         t0 = time.perf_counter()
         if self.state == NOT_INITIALIZED:
-            self._stereo_initialization(frame, timestamp)
-        else:
-            self._track(frame, timestamp)
+            self._flush_pipeline()
+            (init_fn or self._stereo_initialization)(frame, timestamp)
+            self._imu_frame_rows = None
+            self._tic(t0, "track")
+            return self.current_pose()
+        if self.state in (RECENTLY_LOST, LOST):
+            self._flush_pipeline()
+            self._track_lost(frame, timestamp)
+            self._tic(t0, "track")
+            return self.current_pose()
+        self._dispatch_track(frame, timestamp)
+        self._prefetch_next()           # next frontend rides the same gap
+        while len(self._inflight) > self._pipeline_depth - 1:
+            self._complete_one()
         self._tic(t0, "track")
-        return self.current_pose()
+        return self._predicted_pose()
 
     # ------------------------------------------------------------------
     # monocular initialization (ref Tracking::MonocularInitialization
@@ -284,25 +353,38 @@ class System:
         t1 = np.asarray(res.t) / med
 
         n_feat = self.cfg.map.n_feat
+        # draw fresh point slots from the pool free-list (an Atlas reset may
+        # leave the old map's points live in lower slots)
+        free = np.where(~np.asarray(self.ms.mp_valid))[0]
+        inl_pos = np.where(inl)[0][:len(free)]
+        inl = np.zeros_like(inl)
+        inl[inl_pos] = True
         n_new = int(inl.sum())
         slots = np.full(n_feat, -1, np.int32)
-        slots[np.where(inl)[0]] = self.n_mp + np.arange(n_new)
+        slots[inl_pos] = free[:n_new]
         obs0 = slots
         obs1 = np.full(n_feat, -1, np.int32)
         ib = np.asarray(mm.idx_b)
-        obs1[ib[np.where(inl)[0]]] = slots[np.where(inl)[0]]
+        obs1[ib[inl_pos]] = slots[inl_pos]
 
+        kf0 = self._alloc_kf_slot()
+        kf1 = self._alloc_kf_slot()
+        if kf0 is None or kf1 is None:
+            self._record(timestamp, lost=True)
+            return
         eye = jnp.eye(3, dtype=jnp.float32)
         zero = jnp.zeros(3, jnp.float32)
         for slot, fr, R_, t_, obs in (
-                (0, f0, eye, zero, obs0),
-                (1, frame, jnp.asarray(res.R, jnp.float32),
+                (kf0, f0, eye, zero, obs0),
+                (kf1, frame, jnp.asarray(res.R, jnp.float32),
                  jnp.asarray(t1, jnp.float32), obs1)):
             self.ms = M.insert_keyframe(
                 self.ms, jnp.asarray(slot), R_, t_, fr.feats.xy,
                 fr.feats.octave, fr.feats.desc, fr.u_right, fr.depth,
                 fr.feats.valid, jnp.asarray(obs),
-                jnp.asarray(self.frame_id - (1 if slot == 0 else 0)))
+                jnp.asarray(self.frame_id - (1 if slot == kf0 else 0)),
+                kf_ord=jnp.asarray(
+                    self.kf_ord + (0 if slot == kf0 else 1)))
         # map points: descriptors from frame0's features, normals toward cam0
         sel = np.where(inl)[0]
         pos = X[sel]
@@ -315,19 +397,29 @@ class System:
             self.ms, jnp.asarray(slots[sel]), jnp.ones(n_new, bool),
             jnp.asarray(pos, jnp.float32), f0.feats.desc[jnp.asarray(sel)],
             jnp.asarray(normal, jnp.float32), jnp.asarray(mind, jnp.float32),
-            jnp.asarray(maxd, jnp.float32), jnp.zeros(n_new, jnp.int32))
-        self.n_kf = 2
-        self.kf_maps += [self.active_map, self.active_map]
+            jnp.asarray(maxd, jnp.float32),
+            jnp.full(n_new, kf0, jnp.int32),
+            # creation ordinal = the SECOND init keyframe's, so the age-based
+            # young-point cull (2<=age<=3 & n_obs<=2) does not fire during
+            # the init map's own local-mapping pass
+            jnp.full(n_new, self.kf_ord + 1, jnp.int32))
+        self.kf_ord += 2
+        self.kf_order += [kf0, kf1]
         self.n_mp += n_new
-        self.ref_kf = 1
+        self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
         self.last_R = np.asarray(res.R, dtype=np.float32)
         self.last_t = np.asarray(t1, dtype=np.float32)
-        self.last_matched = self.ms.obs_mp[1]
+        self.last_matched = self.ms.obs_mp[kf1]
         self.n_inliers_ref = n_new
         self.state = OK
         self._mono_init_frame = None
-        self._local_mapping(1)
+        self._Rt_dev = None
+        self._Rt_dev2 = None
+        self._has_vel = False
+        self.vel = None
+        self._lost_ts = None
+        self._local_mapping(kf1)
         self._refresh_ref_pose()
         self.last_R, self.last_t = self._ref_pose_np
         self._record(timestamp, lost=False)
@@ -357,6 +449,7 @@ class System:
         depth(4) + obs(4) = 56 B. Per live point: pos(12) + desc(32) +
         normal(12) + dists(8) + stats(16) = 80 B (mirrors the reference's
         KeyFrame/MapPoint payloads)."""
+        self._flush_pipeline()
         ms = self.ms
         kf_valid = np.asarray(ms.kf_valid)
         kp_live = int(np.asarray(
@@ -406,9 +499,10 @@ class System:
         self.cfg.localization_only = False
 
     def shutdown(self):
-        """Flush pending sparsification work (ref ShutdownMapCompressing,
-        src/System.cc:460: sparsify all remaining keyframes on shutdown)."""
-        self._flush_pending_info()
+        """Flush the pipeline and pending sparsification work (ref
+        ShutdownMapCompressing, src/System.cc:460: sparsify all remaining
+        keyframes on shutdown)."""
+        self._flush_pipeline()
         if self._sparsifier is not None:
             self._sparsifier.finish()
 
@@ -417,6 +511,8 @@ class System:
     # ------------------------------------------------------------------
 
     def _frame_pose(self, e: TrajectoryEntry) -> np.ndarray:
+        if e.ref_kf < 0:       # absolute entry (reference slot was recycled)
+            return e.T_cr
         R_ref = np.asarray(self.ms.kf_R[e.ref_kf])
         t_ref = np.asarray(self.ms.kf_t[e.ref_kf])
         T_rw = np.eye(4)
@@ -426,6 +522,7 @@ class System:
 
     def poses_wc(self):
         """List of (timestamp, Twc 4x4) for all tracked frames."""
+        self._flush_pipeline()
         out = []
         for e in self.trajectory:
             if e.lost:
@@ -443,6 +540,7 @@ class System:
     def _keyframe_traj_rows(self):
         """(ts, twc(3,), q_wxyz(4,)) per valid keyframe."""
         from ..ops.lie import rot_to_quat
+        self._flush_pipeline()
         kf_valid = np.asarray(self.ms.kf_valid)
         R = np.asarray(self.ms.kf_R)
         t = np.asarray(self.ms.kf_t)
@@ -511,13 +609,15 @@ class System:
         R = jnp.eye(3, dtype=jnp.float32)
         t = jnp.zeros(3, dtype=jnp.float32)
         no_match = jnp.full((self.cfg.map.n_feat,), -1, jnp.int32)
+        kf_slot = self._alloc_kf_slot()
+        if kf_slot is None:
+            return
         self.ms, n_new = mo.create_keyframe(
-            self.ms, self.calib, jnp.asarray(self.n_kf), frame, R, t,
-            no_match, jnp.asarray(self.n_mp), jnp.asarray(self.frame_id),
+            self.ms, self.calib, jnp.asarray(kf_slot), frame, R, t,
+            no_match, jnp.asarray(self.kf_ord), jnp.asarray(self.frame_id),
             jnp.asarray(1e9))
-        kf_slot = self.n_kf
-        self.n_kf += 1
-        self.kf_maps.append(self.active_map)
+        self.kf_ord += 1
+        self.kf_order.append(kf_slot)
         self.n_mp += int(n_new)
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
@@ -527,133 +627,385 @@ class System:
         self.last_matched = self.ms.obs_mp[kf_slot]
         self.n_inliers_ref = n_depth
         self.state = OK
+        self._Rt_dev = None
+        self._Rt_dev2 = None
+        self._has_vel = False
+        self.vel = None
+        self._lost_ts = None
         if self.cfg.use_imu:
             self._imu_accum = []
             self._kf_times.append(timestamp)
         self._record(timestamp, lost=False)
 
-    def _track(self, frame: FrameData, timestamp: float):
-        cfg = self.cfg
-        # --- pose prediction: IMU when initialized (ref PredictStateIMU,
-        # src/Tracking.cc:1727), else constant velocity ---
-        T_last = self.current_pose()
-        if (self.imu_initialized and self._imu_frame_rows is not None
-                and len(self._imu_frame_rows)):
-            T_pred, v_pred = self._predict_imu(T_last)
-        else:
-            T_pred = (self.vel @ T_last) if self.vel is not None else T_last
-            v_pred = None
-        R0 = jnp.asarray(T_pred[:3, :3], jnp.float32)
-        t0 = jnp.asarray(T_pred[:3, 3], jnp.float32)
+    # ------------------------------------------------------------------
+    # pipelined tracking: dispatch / complete
+    # ------------------------------------------------------------------
 
+    IMU_ROW_CAP = 64
+
+    def _dispatch_track(self, frame: FrameData, timestamp: float):
+        """Enqueue the whole tracking step for this frame on device. Every
+        input is either a host constant or a device handle from the previous
+        step — no fetch needed, so the device pipeline never drains."""
+        cfg = self.cfg
         last_matched = self.last_matched
         if last_matched is None:
             last_matched = jnp.full((cfg.map.n_feat,), -1, jnp.int32)
+        if self._Rt_dev is None:
+            self._Rt_dev = (jnp.asarray(self.last_R, jnp.float32),
+                            jnp.asarray(self.last_t, jnp.float32))
+        R_last, t_last = self._Rt_dev
 
-        # one fused device call for the whole tracking step; one readback
-        out = to.track_full(
-            self.ms, self.calib, self.orb, frame, R0, t0,
-            jnp.asarray(T_last[:3, :3], jnp.float32),
-            jnp.asarray(T_last[:3, 3], jnp.float32),
-            last_matched, jnp.asarray(self.ref_kf),
-            cfg.map.local_mp_cap)
-        self.ms = out.ms                # input ms was donated to track_full
-        self._prefetch_next()           # overlap next frontend with the RTT
+        rows = self._imu_frame_rows
+        imu_used = (self.imu_initialized and rows is not None and len(rows))
+        if imu_used:
+            rows_p, valid = self._pad_imu_rows(rows)
+            if self._v_dev is None:
+                self._v_dev = jnp.asarray(self.vel_w, jnp.float32)
+            if self._bias_dev is None:
+                self._bias_dev = jnp.asarray(self.imu_bias, jnp.float32)
+            noise = jnp.asarray([cfg.imu_noise_gyro, cfg.imu_noise_acc,
+                                 cfg.imu_gyro_walk, cfg.imu_acc_walk],
+                                jnp.float32)
+            out = to.track_full_imu(
+                self.ms, self.calib, self.orb, frame, R_last, t_last,
+                self._v_dev, self._bias_dev,
+                jnp.asarray(rows_p), jnp.asarray(valid),
+                jnp.asarray(self.gravity, jnp.float32), noise,
+                jnp.asarray(self.Tbc[:3, :3], jnp.float32),
+                jnp.asarray(self.Tbc[:3, 3], jnp.float32),
+                last_matched, jnp.asarray(self.ref_kf),
+                cfg.map.local_mp_cap)
+            self._v_dev, self._bias_dev = out.v, out.bias
+        else:
+            R_l2, t_l2 = (self._Rt_dev2 if self._Rt_dev2 is not None
+                          else (R_last, t_last))
+            out = to.track_full(
+                self.ms, self.calib, self.orb, frame, R_last, t_last,
+                R_l2, t_l2, jnp.asarray(self._has_vel),
+                last_matched, jnp.asarray(self.ref_kf),
+                cfg.map.local_mp_cap)
+        self.ms = out.ms                # input ms was donated
+        try:
+            out.stats.copy_to_host_async()
+        except Exception:
+            pass
+        self._inflight.append(InFlight(
+            frame_id=self.frame_id, timestamp=timestamp, frame=frame,
+            out=out, imu_used=bool(imu_used)))
+        self._Rt_dev2 = (R_last, t_last)
+        self._Rt_dev = (out.R, out.t)
+        self._has_vel = True
+        self.last_matched = out.matched_mp
+        self._imu_frame_rows = None
+
+    @classmethod
+    def _pad_imu_rows(cls, rows: np.ndarray):
+        """Pad (or pairwise-merge overlong) IMU batches to a fixed shape so
+        the inertial track kernel compiles once."""
+        cap = cls.IMU_ROW_CAP
+        while len(rows) > cap:
+            # merge adjacent pairs: dt adds, measurements dt-average
+            n = len(rows) // 2 * 2
+            a, b = rows[:n:2], rows[1:n:2]
+            dt = a[:, :1] + b[:, :1]
+            m = (a[:, 1:] * a[:, :1] + b[:, 1:] * b[:, :1]) / np.maximum(
+                dt, 1e-9)
+            merged = np.concatenate([dt, m], axis=1)
+            rows = (np.concatenate([merged, rows[n:]])
+                    if n < len(rows) else merged)
+        out = np.zeros((cap, 7), np.float32)
+        out[:len(rows)] = rows
+        valid = np.zeros(cap, bool)
+        valid[:len(rows)] = True
+        return out, valid
+
+    def _complete_one(self):
+        """Fetch + integrate the oldest in-flight frame: state machine,
+        pose bookkeeping, keyframe decision (the host half of
+        Tracking::Track)."""
+        fl = self._inflight.popleft()
+        cfg = self.cfg
         if self._pending_kf_info is not None:
             # previous keyframe's deferred info rides the same round trip
             packed, info = jax.device_get(
-                (out.stats, self._pending_kf_info[1]))
+                (fl.out.stats, self._pending_kf_info[1]))
             self._integrate_kf_info(self._pending_kf_info[0],
                                     np.asarray(info))
             self._pending_kf_info = None
             packed = np.asarray(packed)
         else:
-            packed = np.asarray(out.stats)  # the one per-frame fetch
+            packed = np.asarray(fl.out.stats)  # the one per-frame fetch
         R_np = packed[:9].reshape(3, 3).astype(np.float32)
         t_np = packed[9:12].astype(np.float32)
         (n_pre, _used_wide, _used_fb, n_inliers,
-         n_close, n_close_untracked, best_kf, _n_cand) = (
-            int(v) for v in packed[12:20])
+         n_close, n_close_untracked, best_kf, _n_cand, n_ref) = (
+            int(v) for v in packed[12:21])
 
         if n_pre < 10 or n_inliers < 15:
-            # pre-stage or local-map tracking failed -> relocalize or LOST
-            rl = self._relocalize(frame)
-            if rl is None:
-                self.state = LOST
-                self.vel = None
-                self._lost_frames += 1
-                # irrecoverable: start a fresh map in the atlas (ref
-                # Tracking::CreateMapInAtlas) once enough frames failed
-                if (self._lost_frames > int(2 * self.calib.fps)
-                        and self.n_kf >= 5
-                        and self.n_kf < self.cfg.map.max_kf - 8):
-                    self.active_map += 1
-                    self.state = NOT_INITIALIZED
-                    self.last_matched = None
-                    self._lost_frames = 0
-                self._record(timestamp, lost=True)
-                return
-            self._lost_frames = 0
-            out = rl
-            n_inliers = int(rl.n_inliers)
-            best_kf = self.ref_kf
-            R_np = np.asarray(rl.R, dtype=np.float32)
-            t_np = np.asarray(rl.t, dtype=np.float32)
-            self._refresh_ref_pose()
+            self._on_track_failure(fl)
+            return
 
         self.state = OK
         self._lost_frames = 0
-        # pose + velocity update (all host-side numpy, no device fetches)
+        self._lost_ts = None
+        # reference matches for the keyframe decision, evaluated per frame
+        # like the reference (src/Tracking.cc:3071-3075)
+        if n_ref > 0:
+            self.n_inliers_ref = n_ref
+        # pose + velocity update (host-side numpy, no device fetches)
+        T_last = self.current_pose()
         T_now = np.eye(4)
         T_now[:3, :3] = R_np
         T_now[:3, 3] = t_np
         self.vel = T_now @ np.linalg.inv(T_last)
         self.last_R = R_np
         self.last_t = t_np
-        self.last_matched = out.matched_mp
-        if self.cfg.use_imu and self._last_frame_dt() > 0:
-            # body velocity from pose differencing (refined by IMU predict)
-            c_now = -R_np.T @ t_np
-            c_last = -T_last[:3, :3].T @ T_last[:3, 3]
-            self.vel_w = ((c_now - c_last) / self._last_frame_dt()).astype(
-                np.float32)
+        if fl.imu_used:
+            self.vel_w = packed[33:36].astype(np.float32)
+            self.imu_bias = packed[36:42].astype(np.float32)
+        elif self.cfg.use_imu:
+            dt = (fl.timestamp - self._prev_completed_ts
+                  if self._prev_completed_ts is not None else 0.0)
+            if dt > 0:
+                c_now = -R_np.T @ t_np
+                c_last = -T_last[:3, :3].T @ T_last[:3, 3]
+                self.vel_w = ((c_now - c_last) / dt).astype(np.float32)
         if int(best_kf) != self.ref_kf:
             self.ref_kf = int(best_kf)
             # ref pose rides along in the stats pack — no extra fetch
             self._ref_pose_np = (
-                packed[20:29].reshape(3, 3).astype(np.float32),
-                packed[29:32].astype(np.float32))
+                packed[21:30].reshape(3, 3).astype(np.float32),
+                packed[30:33].astype(np.float32))
 
         # --- keyframe decision (ref NeedNewKeyFrame, src/Tracking.cc:3040) ---
         need_close = (n_close < 100) and (n_close_untracked > 70)
-        c1a = self.frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
-        c1b = self.frame_id >= self.last_kf_frame + cfg.min_frames_between_kf
+        c1a = fl.frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
+        c1b = fl.frame_id >= self.last_kf_frame + cfg.min_frames_between_kf
         c2 = (n_inliers < self.n_inliers_ref * cfg.ref_ratio) or need_close
-        if ((c1a or (c1b and c2)) and n_inliers > 15
+        # inertial temporal rule: a keyframe at least every 0.25s before IMU
+        # init / 0.5s after (ref src/Tracking.cc:3131-3138; the staged
+        # initialization needs a dense early keyframe chain)
+        c_imu = False
+        if cfg.use_imu and self._kf_times:
+            dt_kf = fl.timestamp - self._kf_times[-1]
+            c_imu = dt_kf >= (0.25 if not self.imu_initialized else 0.5)
+        if ((c1a or (c1b and c2) or c_imu) and n_inliers > 15
                 and not cfg.localization_only):
-            self._create_keyframe(frame, out, R_np, t_np)
-        self._record(timestamp, lost=False)
+            self._create_keyframe(fl.frame, fl.out, R_np, t_np, fl=fl)
+        self._record(fl.timestamp, lost=False, frame_id=fl.frame_id)
+        self._prev_completed_ts = fl.timestamp
+
+    def _on_track_failure(self, fl: InFlight):
+        """Tracking failed for frame fl: relocalize now, or enter the
+        RECENTLY_LOST grace window (ref src/Tracking.cc:1947-2018)."""
+        self.vel = None
+        self._has_vel = False
+        rl = self._relocalize(fl.frame)
+        if rl is not None:
+            self._lost_frames = 0
+            self._lost_ts = None
+            self.state = OK
+            self.last_R = np.asarray(rl.R, dtype=np.float32)
+            self.last_t = np.asarray(rl.t, dtype=np.float32)
+            self._Rt_dev = (rl.R, rl.t)
+            self._Rt_dev2 = None
+            self.last_matched = rl.matched_mp
+            self._refresh_ref_pose()
+            self._record(fl.timestamp, lost=False, frame_id=fl.frame_id)
+            self._prev_completed_ts = fl.timestamp
+            self._redispatch_inflight()
+            return
+        if self.n_kf > 10:
+            # grace window: keep extrapolating + retrying reloc
+            self.state = RECENTLY_LOST
+            if self._lost_ts is None:
+                self._lost_ts = fl.timestamp
+        else:
+            self.state = LOST
+            self._lost_frames += 1
+        self._record(fl.timestamp, lost=True, frame_id=fl.frame_id)
+        self._extrapolate_pose()
+        # newer in-flight frames were tracked from a bad pose: reprocess
+        # them through the loss path
+        stale = list(self._inflight)
+        self._inflight.clear()
+        for s in stale:
+            self._track_lost(s.frame, s.timestamp, frame_id=s.frame_id)
+
+    def _track_lost(self, frame: FrameData, timestamp: float,
+                    frame_id: Optional[int] = None):
+        """Synchronous per-frame handling in RECENTLY_LOST / LOST states
+        (ref Tracking.cc:1991-2018: predict state, retry relocalization,
+        give up into a fresh Atlas map when irrecoverable)."""
+        fid = self.frame_id if frame_id is None else frame_id
+        rl = self._relocalize(frame)
+        if rl is not None:
+            self.state = OK
+            self._lost_frames = 0
+            self._lost_ts = None
+            self.vel = None
+            self._has_vel = False
+            self.last_R = np.asarray(rl.R, dtype=np.float32)
+            self.last_t = np.asarray(rl.t, dtype=np.float32)
+            self._Rt_dev = (rl.R, rl.t)
+            self._Rt_dev2 = None
+            self.last_matched = rl.matched_mp
+            self._refresh_ref_pose()
+            self._record(timestamp, lost=False, frame_id=fid)
+            self._prev_completed_ts = timestamp
+            self._imu_frame_rows = None
+            return
+        if self.state == RECENTLY_LOST:
+            self._extrapolate_pose()
+            if (self._lost_ts is not None
+                    and timestamp - self._lost_ts > self.cfg.t_recently_lost):
+                self.state = LOST
+        if self.state == LOST:
+            self._lost_frames += 1
+            # irrecoverable: start a fresh map in the atlas (ref
+            # Tracking::CreateMapInAtlas) once enough frames failed
+            if (self._lost_frames > int(2 * self.calib.fps)
+                    and self.n_kf >= 5
+                    and (self.cfg.map.max_kf - self.n_kf
+                         + len(self.kf_free)) >= 8):
+                self.active_map += 1
+                self.state = NOT_INITIALIZED
+                self.last_matched = None
+                self._Rt_dev = None
+                self._lost_frames = 0
+                self._lost_ts = None
+        self._record(timestamp, lost=True, frame_id=fid)
+        self._imu_frame_rows = None
+
+    def _extrapolate_pose(self):
+        """Carry the pose forward through a blackout: IMU propagation when
+        initialized (ref PredictStateIMU in RECENTLY_LOST), else constant
+        velocity, else hold."""
+        rows = self._imu_frame_rows
+        if (self.imu_initialized and rows is not None and len(rows)):
+            T_pred, v_pred = self._predict_imu(self.current_pose())
+            self.last_R = T_pred[:3, :3].astype(np.float32)
+            self.last_t = T_pred[:3, 3].astype(np.float32)
+            self.vel_w = np.asarray(v_pred, np.float32)
+            self._v_dev = None
+        elif self.vel is not None:
+            T = self.vel @ self.current_pose()
+            self.last_R = T[:3, :3].astype(np.float32)
+            self.last_t = T[:3, 3].astype(np.float32)
+        self._Rt_dev = None
+
+    def _redispatch_inflight(self):
+        """Re-run newer in-flight frames after an event that invalidated
+        their inputs (relocalization, loop correction, map switch). Their
+        device stat updates are benign; the track just reruns from the
+        corrected pose."""
+        stale = list(self._inflight)
+        self._inflight.clear()
+        saved_fid = self.frame_id
+        for s in stale:
+            self.frame_id = s.frame_id
+            self._imu_frame_rows = None      # conservative: visual redispatch
+            self._dispatch_track(s.frame, s.timestamp)
+        self.frame_id = saved_fid
+
+    def _flush_pipeline(self):
+        """Complete every in-flight frame (blocking)."""
+        while self._inflight:
+            self._complete_one()
+        self._flush_pending_info()
+
+    def _predicted_pose(self) -> np.ndarray:
+        """Best host-side estimate for the newest dispatched frame (its
+        fetched pose lands at the next call; recorded trajectory uses the
+        true pose)."""
+        T_last = self.current_pose()
+        if self.vel is not None and self._has_vel:
+            return self.vel @ T_last
+        return T_last
 
     _pending_kf_info = None
 
-    def _create_keyframe(self, frame: FrameData, out, R_np=None, t_np=None):
+    def _alloc_kf_slot(self) -> Optional[int]:
+        """Keyframe slot allocator: recycled slots first (culled keyframes
+        free their pool rows — the KeyFrame::SetBadFlag memory-release
+        analog, ref src/KeyFrame.cc), else extend the high-water mark; at
+        pool capacity, evict the oldest evictable keyframe (the reference
+        heap-allocates without bound — a fixed pool needs graceful
+        degradation to survive arbitrarily long sequences)."""
+        if not self.kf_free and self.n_kf >= self.cfg.map.max_kf:
+            self._evict_oldest_kf()
+        if self.kf_free:
+            slot = self.kf_free.pop()
+            self._on_kf_slot_reuse(slot)
+            self.kf_maps[slot] = self.active_map
+            return slot
         if self.n_kf >= self.cfg.map.max_kf:
-            return
-        cfg = self.cfg
+            return None
         slot = self.n_kf
+        self.n_kf += 1
+        self.kf_maps.append(self.active_map)
+        return slot
+
+    def _evict_oldest_kf(self):
+        """Capacity-pressure eviction: drop the temporally oldest keyframe
+        that is not in the recent window and not the tracking reference
+        (trajectory entries re-anchor to its temporal parent first)."""
+        keep = set(self.kf_order[-(self.cfg.map.window_kf + 2):])
+        keep.add(self.ref_kf)
+        for s in list(self.kf_order):
+            if s in keep:
+                continue
+            self.ms = _delete_one_kf(self.ms, jnp.asarray(s))
+            self._free_keyframes([s])
+            if self.kf_db is not None:
+                self.kf_db.erase(s)
+            return
+
+    def _on_kf_slot_reuse(self, slot: int):
+        """Before overwriting a recycled keyframe slot: convert trajectory
+        entries referenced to it into absolute poses (the reference instead
+        walks the spanning tree through culled keyframes at save time,
+        src/System.cc:559-568), and drop stale stage bookkeeping."""
+        if any(e.ref_kf == slot for e in self.trajectory):
+            packed = np.asarray(jnp.concatenate([
+                self.ms.kf_R[slot].reshape(9), self.ms.kf_t[slot]]))
+            T_rw = np.eye(4)
+            T_rw[:3, :3] = packed[:9].reshape(3, 3)
+            T_rw[:3, 3] = packed[9:12]
+            for e in self.trajectory:
+                if e.ref_kf == slot:
+                    e.T_cr = e.T_cr @ T_rw
+                    e.ref_kf = -1
+        if self._sparsifier is not None:
+            self._sparsifier.forget(slot)
+        if self.kf_db is not None:
+            self.kf_db.erase(slot)
+
+    def _create_keyframe(self, frame: FrameData, out, R_np=None, t_np=None,
+                         fl: Optional[InFlight] = None):
+        cfg = self.cfg
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return
+        frame_id = fl.frame_id if fl is not None else self.frame_id
+        kf_ts = fl.timestamp if fl is not None else (self._last_ts or 0.0)
         t0 = time.perf_counter()
         ko = mo.keyframe_step(
             self.ms, self.calib, self.orb, jnp.asarray(slot), frame,
-            out.R, out.t, out.matched_mp, jnp.asarray(self.n_mp),
-            jnp.asarray(self.frame_id), jnp.asarray(self.calib.th_depth),
+            out.R, out.t, out.matched_mp, jnp.asarray(self.kf_ord),
+            jnp.asarray(frame_id), jnp.asarray(self.calib.th_depth),
             n_tri=cfg.n_triangulate_neighbors, window_kf=cfg.map.window_kf,
             n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
             ba_iters=cfg.ba_iters)
         self.ms = ko.ms
-        self.n_kf += 1
-        self.kf_maps.append(self.active_map)
+        self.kf_ord += 1
+        self.kf_order.append(slot)
         self.ref_kf = slot
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = frame_id
+        # the keyframe's observation row (matches + newly spawned stereo
+        # points) becomes the motion-model candidate set for the next
+        # dispatched frame (ref Tracking::UpdateLastFrame VO points)
         self.last_matched = self.ms.obs_mp[slot]
         if R_np is not None:
             # the keyframe's dispatch-time pose IS the tracked pose; the
@@ -668,11 +1020,15 @@ class System:
             self._integrate_kf_info(slot, np.asarray(ko.info))
         self._tic(t0, "keyframe_step")
         if self.cfg.use_imu:
-            rows = (np.concatenate(self._imu_accum)
-                    if self._imu_accum else np.zeros((0, 7), np.float32))
+            # split accumulated IMU rows at this keyframe's frame id (rows
+            # for newer, still-in-flight frames stay queued)
+            take = [r for f, r in self._imu_accum if f <= frame_id]
+            self._imu_accum = [(f, r) for f, r in self._imu_accum
+                               if f > frame_id]
+            rows = (np.concatenate(take) if take
+                    else np.zeros((0, 7), np.float32))
             self._kf_imu_segments.append(rows)
-            self._imu_accum = []
-            self._kf_times.append(self._last_ts or 0.0)
+            self._kf_times.append(kf_ts)
             self.kf_velocities[slot] = self.vel_w
             self._try_imu_init()
             # inertial factors enter the window BA only after the first
@@ -683,17 +1039,75 @@ class System:
 
     def _integrate_kf_info(self, slot: int, info: np.ndarray):
         """Apply a keyframe step's packed scalars to the host schedule
-        (counters, BA-refined ref pose, sparsifier + loop-closer feeds)."""
+        (counters, BA-refined ref pose, KF free-list, sparsifier +
+        loop-closer feeds)."""
+        Wk = self.cfg.map.window_kf
         self.n_mp += int(info[0]) + int(info[1])
         self.n_inliers_ref = int(info[5])
         if self.ref_kf == slot:
             self._ref_pose_np = (info[6:15].reshape(3, 3).astype(np.float32),
                                  info[15:18].astype(np.float32))
-        window = [int(v) for v in info[18:] if v >= 0]
+        window = [int(v) for v in info[18:18 + Wk] if v >= 0]
+        culled = [int(v) for v in info[18 + Wk:18 + 2 * Wk] if v >= 0]
+        self._free_keyframes(culled)
         if self._sparsifier is not None:
             self._sparsifier.observe_window(window)
         if self._loop_closer is not None:
             self._loop_closer.insert_keyframe(slot)
+
+    def _free_keyframes(self, culled: list[int]):
+        """Feed culled keyframe slots to the free-list (host half of
+        KeyFrame::SetBadFlag). Trajectory entries referencing the culled
+        keyframe re-anchor to its temporal parent so later loop corrections
+        still reach them (ref: the spanning-tree walk through bad KFs at
+        save time, src/System.cc:559-568). In inertial mode the culled
+        keyframe's two IMU intervals merge into one (ref
+        Preintegrated::MergePrevious via KeyFrameCulling,
+        src/LocalMapping.cc:1030-)."""
+        for c in culled:
+            if c in self.kf_free:
+                continue
+            self.kf_free.append(c)
+            if c in self.kf_order:
+                i = self.kf_order.index(c)
+                parent = (self.kf_order[i - 1] if i > 0 else
+                          (self.kf_order[i + 1]
+                           if i + 1 < len(self.kf_order) else None))
+                if (parent is not None
+                        and any(e.ref_kf == c for e in self.trajectory)):
+                    pk = np.asarray(jnp.concatenate([
+                        self.ms.kf_R[c].reshape(9), self.ms.kf_t[c],
+                        self.ms.kf_R[parent].reshape(9),
+                        self.ms.kf_t[parent]]))
+                    T_cw = np.eye(4)
+                    T_cw[:3, :3] = pk[:9].reshape(3, 3)
+                    T_cw[:3, 3] = pk[9:12]
+                    T_pw = np.eye(4)
+                    T_pw[:3, :3] = pk[12:21].reshape(3, 3)
+                    T_pw[:3, 3] = pk[21:24]
+                    T_cp = T_cw @ np.linalg.inv(T_pw)
+                    for e in self.trajectory:
+                        if e.ref_kf == c:
+                            e.T_cr = e.T_cr @ T_cp
+                            e.ref_kf = parent
+                if self.ref_kf == c and parent is not None:
+                    self.ref_kf = parent
+                    self._refresh_ref_pose()
+                self.kf_order.pop(i)
+                if self.cfg.use_imu:
+                    # segments[j] = IMU rows between kf_order[j] and [j+1]
+                    if i == 0:
+                        if self._kf_imu_segments:
+                            self._kf_imu_segments.pop(0)
+                    elif i - 1 < len(self._kf_imu_segments):
+                        seg_in = self._kf_imu_segments.pop(i - 1)
+                        if i - 1 < len(self._kf_imu_segments):
+                            self._kf_imu_segments[i - 1] = np.concatenate(
+                                [seg_in, self._kf_imu_segments[i - 1]])
+                    if i < len(self._kf_times):
+                        self._kf_times.pop(i)
+            if self._sparsifier is not None:
+                self._sparsifier.forget(c)
 
     def _flush_pending_info(self):
         if self._pending_kf_info is not None:
@@ -701,22 +1115,40 @@ class System:
             self._pending_kf_info = None
             self._integrate_kf_info(slot, np.asarray(info))
 
+    _reloc_key = None
+
     def _relocalize(self, frame: FrameData):
-        """Relocalization against the sparsified keyframe database (ref
-        Tracking::Relocalization, src/Tracking.cc:3641: BoW candidates ->
-        match -> PnP -> pose optimization; the database only ever contains
-        sparsified keyframes, src/LoopClosing.cc:325)."""
-        if self._loop_closer is None:
-            return None
-        db = self._loop_closer.db
+        """Relocalization (ref Tracking::Relocalization,
+        src/Tracking.cc:3641): candidates from the sparsified keyframe
+        database (the DB only ever contains sparsified keyframes,
+        src/LoopClosing.cc:325; falls back to a brute sweep over all valid
+        keyframes when sparsification is off) -> appearance matching ->
+        prior-free PnP RANSAC (MLPnP analog, ops/pnp.py) -> pose
+        optimization -> widening projection refinement."""
         f = frame.feats
-        cands, _ = db.query_brute(self.ms.kp_desc, self.ms.kp_valid,
-                                  f.desc, f.valid, k=5)
+        if self.kf_db is not None and self.kf_db.present.any():
+            cands, _ = self.kf_db.query_brute(
+                self.ms.kp_desc, self.ms.kp_valid, f.desc, f.valid, k=5)
+        elif self.n_kf > 0:
+            # no database: brute appearance sweep over all valid keyframes
+            from ..models.vocab import place_scores
+            mask = np.asarray(self.ms.kf_valid)
+            if not mask.any():
+                return None
+            scores = np.asarray(place_scores(
+                self.ms.kp_desc, self.ms.kp_valid, jnp.asarray(mask),
+                f.desc, f.valid))
+            order = np.argsort(-scores)[:5]
+            cands = [int(i) for i in order if scores[i] > 0.05]
+        else:
+            return None
+        if self._reloc_key is None:
+            self._reloc_key = jax.random.PRNGKey(0xE10C)
         best = None
         for c in cands:
-            out = to.track_by_appearance(
-                self.ms, self.calib, frame, jnp.asarray(c),
-                self.ms.kf_R[c], self.ms.kf_t[c])
+            self._reloc_key, sub = jax.random.split(self._reloc_key)
+            out = to.track_by_pnp(self.ms, self.calib, frame,
+                                  jnp.asarray(c), sub)
             n = int(out.n_inliers)
             if n >= 15 and (best is None or n > best[0]):
                 best = (n, c, out)
@@ -741,17 +1173,20 @@ class System:
 
     def _local_mapping(self, kf_slot: int):
         cfg = self.cfg
+        Wk = cfg.map.window_kf
         t0 = time.perf_counter()
         out = mo.mapping_step(
             self.ms, self.calib, self.orb, jnp.asarray(kf_slot),
-            jnp.asarray(self.n_mp),
+            jnp.asarray(self.kf_ord),
             n_tri=cfg.n_triangulate_neighbors,
             window_kf=cfg.map.window_kf, n_fixed=cfg.n_fixed_cams,
             pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters)
         self.ms = out.ms
         info = np.asarray(out.info)   # the one per-keyframe fetch
         self.n_mp += int(info[0])
-        window = [int(v) for v in info[4:] if v >= 0]
+        window = [int(v) for v in info[4:4 + Wk] if v >= 0]
+        culled = [int(v) for v in info[4 + Wk:4 + 2 * Wk] if v >= 0]
+        self._free_keyframes(culled)
         self._tic(t0, "mapping_step")
 
         # sparsification feed: miss-counter update (ref
@@ -828,8 +1263,8 @@ class System:
             return
         self._imu_stage = stage + 1
         segs = self._kf_imu_segments[-20:]
-        first = len(self._kf_imu_segments) - len(segs)
         K = len(segs) + 1
+        ord_slots = np.asarray(self.kf_order[-K:], np.int32)
         cap = max(int(max(len(seg) for seg in segs)), 8)
         meas = np.zeros((K - 1, cap, 7), np.float32)
         valid = np.zeros((K - 1, cap), bool)
@@ -843,8 +1278,8 @@ class System:
                 jnp.asarray(cfg.imu_gyro_walk),
                 jnp.asarray(cfg.imu_acc_walk)))(
             jnp.asarray(meas), jnp.asarray(valid))
-        kf_R_cw = np.asarray(self.ms.kf_R[first:first + K])
-        kf_t_cw = np.asarray(self.ms.kf_t[first:first + K])
+        kf_R_cw = np.asarray(self.ms.kf_R[ord_slots])
+        kf_t_cw = np.asarray(self.ms.kf_t[ord_slots])
         R_wc = kf_R_cw.transpose(0, 2, 1)
         p_wc = -np.einsum("kij,kj->ki", R_wc, kf_t_cw)
         # body pose: T_wb = T_wc * T_cb (IMU.T_b_c1 extrinsic)
@@ -860,6 +1295,9 @@ class System:
             [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
         self.vel_w = np.asarray(res.vels[-1]).astype(np.float32)
         self.imu_initialized = True
+        # reseed the on-device inertial chain from the refined estimates
+        self._v_dev = None
+        self._bias_dev = None
 
     def _inertial_window_ba(self, new_slot: int):
         """Local inertial BA over the temporal window (ref
@@ -869,11 +1307,9 @@ class System:
         import jax
         from ..ops import imu as imu_ops
         from ..ops import inertial_opt
-        W = min(6, new_slot + 1)
-        slots = list(range(new_slot - W + 1, new_slot + 1))
-        # preintegration per consecutive interval from stored raw segments
-        segs = [self._kf_imu_segments[s] if s < len(self._kf_imu_segments)
-                else np.zeros((0, 7), np.float32) for s in slots[1:]]
+        W = min(6, len(self.kf_order))
+        slots = self.kf_order[-W:]          # temporal window, newest last
+        segs = self._kf_imu_segments[-(W - 1):]
         cap = max(max((len(x) for x in segs), default=1), 1)
         meas = np.zeros((W - 1, cap, 7), np.float32)
         valid = np.zeros((W - 1, cap), bool)
@@ -940,6 +1376,8 @@ class System:
         self.imu_bias = np.concatenate(
             [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
         self.vel_w = self.kf_velocities[new_slot]
+        self._v_dev = None
+        self._bias_dev = None
 
     def _refresh_ref_pose(self):
         packed = np.asarray(jnp.concatenate([
@@ -948,12 +1386,13 @@ class System:
         self._ref_pose_np = (packed[:9].reshape(3, 3).astype(np.float32),
                              packed[9:12].astype(np.float32))
 
-    def _record(self, timestamp, lost: bool):
+    def _record(self, timestamp, lost: bool, frame_id: Optional[int] = None):
         T_cw = self.current_pose()
         R_ref, t_ref = self._ref_pose_np
         T_rw = np.eye(4)
         T_rw[:3, :3] = R_ref
         T_rw[:3, 3] = t_ref
         self.trajectory.append(TrajectoryEntry(
-            frame_id=self.frame_id, timestamp=timestamp, ref_kf=self.ref_kf,
+            frame_id=self.frame_id if frame_id is None else frame_id,
+            timestamp=timestamp, ref_kf=self.ref_kf,
             T_cr=T_cw @ np.linalg.inv(T_rw), lost=lost))

@@ -38,18 +38,21 @@ def save_map(path: str, system) -> None:
         "version": FORMAT_VERSION,
         "n_kf": system.n_kf,
         "n_mp": system.n_mp,
+        "kf_ord": system.kf_ord,
+        "kf_free": list(system.kf_free),
+        "kf_order": list(system.kf_order),
         "frame_id": system.frame_id,
         "state": system.state,
         "ref_kf": system.ref_kf,
         "sparsifier_done": sorted(system._sparsifier.done)
         if system._sparsifier else [],
-        "db_present": np.where(system._loop_closer.db.present)[0].tolist()
-        if system._loop_closer else [],
+        "db_present": np.where(system.kf_db.present)[0].tolist()
+        if system.kf_db is not None else [],
     }
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    if system._loop_closer is not None:
-        arrays["db_rows"] = np.asarray(system._loop_closer.db.rows)
+    if system.kf_db is not None:
+        arrays["db_rows"] = np.asarray(system.kf_db.rows)
     np.savez_compressed(path, **arrays)
 
 
@@ -66,12 +69,15 @@ def load_map(path: str, system) -> None:
     system.ms = MapState(**fields)
     system.n_kf = meta["n_kf"]
     system.n_mp = meta["n_mp"]
+    system.kf_ord = meta.get("kf_ord", meta["n_kf"])
+    system.kf_free = list(meta.get("kf_free", []))
+    system.kf_order = list(meta.get("kf_order", range(meta["n_kf"])))
     system.frame_id = meta["frame_id"]
     system.ref_kf = meta["ref_kf"]
     system.state = "LOST"   # must relocalize against the loaded map
     if system._sparsifier is not None:
         system._sparsifier.done = set(meta["sparsifier_done"])
-    if system._loop_closer is not None and "db_rows" in data:
-        system._loop_closer.db.rows = jnp.asarray(data["db_rows"])
+    if system.kf_db is not None and "db_rows" in data:
+        system.kf_db.rows = jnp.asarray(data["db_rows"])
         for i in meta["db_present"]:
-            system._loop_closer.db.present[i] = True
+            system.kf_db.present[i] = True

@@ -158,6 +158,54 @@ class BoxWorld:
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
 
 
+class CorridorWorld:
+    """Infinite textured corridor along +z: side walls at x=+-half_w, floor
+    and ceiling — close stereo geometry along an arbitrarily long forward
+    run (KITTI-street analog for long-sequence tests)."""
+
+    def __init__(self, rng, half_w=3.0, y_floor=1.6, y_ceil=-2.2,
+                 tex_scale=0.05):
+        self.half_w = half_w
+        self.y_floor = y_floor
+        self.y_ceil = y_ceil
+        self.tex = [mondrian_texture(rng) for _ in range(4)]
+        self.tex_scale = tex_scale
+
+    def _sample(self, tex, a, b):
+        return PlaneWorld._sample(self, tex, a, b)
+
+    def render(self, K, T_wc, h, w):
+        Rwc = T_wc[:3, :3]
+        Ow = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                           (vs - K[1, 2]) / K[1, 1],
+                           np.ones_like(us, np.float64)], axis=-1)
+        d = rays_c @ Rwc.T
+        img = np.zeros((h, w), np.float32)
+        depth = np.full((h, w), np.inf)
+        planes = [(0, self.half_w, self.tex[0], (1, 2)),
+                  (0, -self.half_w, self.tex[1], (1, 2)),
+                  (1, self.y_floor, self.tex[2], (0, 2)),
+                  (1, self.y_ceil, self.tex[3], (0, 2))]
+        for ax, val, tex, (a_ax, b_ax) in planes:
+            da = d[..., ax]
+            da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
+            t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
+            ok = (t > 0.1) & (t < depth)
+            X = Ow[None, None, :] + t[..., None] * d
+            val_img = self._sample(tex, X[..., a_ax], X[..., b_ax])
+            img = np.where(ok, val_img, img)
+            depth = np.where(ok, t, depth)
+        return img.astype(np.float32)
+
+    def render_stereo(self, K, T_wc, baseline, h, w):
+        T_right = T_wc.copy()
+        T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array(
+            [baseline, 0, 0])
+        return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
+
+
 def make_imu(poses, frame_dt: float, imu_rate: int = 20, g=9.81):
     """Synthesize body-frame IMU samples along a pose sequence.
 
