@@ -111,6 +111,100 @@ def relative_pose(Ri, ti, Rj, tj):
 
 
 # ---------------------------------------------------------------------------
+# 4-DoF variant — the inertial essential graph (ref
+# Optimizer::OptimizeEssentialGraph4DoF, /root/reference/src/Optimizer.cc:5174,
+# vertices VertexPose4DoF: once the IMU has observed gravity, pitch and roll
+# are globally observable, so loop correction must only redistribute yaw (about
+# the gravity axis) + translation).
+# ---------------------------------------------------------------------------
+
+
+class Graph4DoFResult(NamedTuple):
+    R: jnp.ndarray   # (K,3,3)
+    t: jnp.ndarray   # (K,3)
+    final_cost: jnp.ndarray
+
+
+def _apply_4dof(x4, up, R, t):
+    """World-frame 4-DoF update of a camera-from-world pose: T_wc' =
+    DT * T_wc with DT = (exp(yaw*up), dt_world) — i.e. T_cw' = T_cw *
+    DT^-1. `up` is the unit gravity-up axis in world coordinates."""
+    Rz = lie.so3_exp(x4[3] * up)
+    Rzi = Rz.T
+    dti = -Rzi @ x4[:3]
+    return R @ Rzi, R @ dti + t
+
+
+def _edge_residual_4dof(x_i, x_j, up, Ri, ti, Rj, tj, Rz, tz):
+    Ri2, ti2 = _apply_4dof(x_i, up, Ri, ti)
+    Rj2, tj2 = _apply_4dof(x_j, up, Rj, tj)
+    Rji, tji = lie.se3_inv(Rj2, tj2)
+    Rrel, trel = lie.se3_compose(Ri2, ti2, Rji, tji)
+    Rzi, tzi = lie.se3_inv(Rz, tz)
+    Re, te = lie.se3_compose(Rzi, tzi, Rrel, trel)
+    return lie.se3_log(Re, te)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_4dof(kf_R: jnp.ndarray, kf_t: jnp.ndarray,
+                             up: jnp.ndarray, fixed: jnp.ndarray,
+                             e_i: jnp.ndarray, e_j: jnp.ndarray,
+                             e_R: jnp.ndarray, e_t: jnp.ndarray,
+                             e_w: jnp.ndarray, e_valid: jnp.ndarray,
+                             n_iters: int = 12,
+                             lam: float = 1e-6) -> Graph4DoFResult:
+    """4-DoF (yaw about `up` + translation) pose-graph optimization.
+
+    Same edge structure as optimize_pose_graph; the residual is still the
+    full se(3) log (6-dim) so pitch/roll disagreements contribute cost, but
+    the update can only move yaw/translation — exactly the reference's
+    VertexPose4DoF behavior."""
+    K = kf_R.shape[0]
+    dt = kf_R.dtype
+    zero4 = jnp.zeros(4, dt)
+    up = up / jnp.maximum(jnp.linalg.norm(up), 1e-9)
+
+    res_fn = jax.vmap(_edge_residual_4dof,
+                      in_axes=(None, None, None, 0, 0, 0, 0, 0, 0))
+    jac_fn = jax.vmap(jax.jacrev(_edge_residual_4dof, argnums=(0, 1)),
+                      in_axes=(None, None, None, 0, 0, 0, 0, 0, 0))
+
+    def iteration(state, _):
+        R_all, t_all = state
+        args = (R_all[e_i], t_all[e_i], R_all[e_j], t_all[e_j], e_R, e_t)
+        r = res_fn(zero4, zero4, up, *args)       # (E,6)
+        Ji, Jj = jac_fn(zero4, zero4, up, *args)  # (E,6,4)
+        w = (e_w * e_valid)[:, None, None]
+        Ji = Ji * jnp.where(fixed[e_i], 0.0, 1.0)[:, None, None]
+        Jj = Jj * jnp.where(fixed[e_j], 0.0, 1.0)[:, None, None]
+
+        H = jnp.zeros((K, K, 4, 4), dt)
+        H = H.at[e_i, e_i].add(w * jnp.einsum("eki,ekj->eij", Ji, Ji))
+        H = H.at[e_j, e_j].add(w * jnp.einsum("eki,ekj->eij", Jj, Jj))
+        H = H.at[e_i, e_j].add(w * jnp.einsum("eki,ekj->eij", Ji, Jj))
+        H = H.at[e_j, e_i].add(w * jnp.einsum("eki,ekj->eij", Jj, Ji))
+        b = jnp.zeros((K, 4), dt)
+        b = b.at[e_i].add(-jnp.einsum("eki,ek->ei", Ji * w, r))
+        b = b.at[e_j].add(-jnp.einsum("eki,ek->ei", Jj * w, r))
+
+        Hb = H.transpose(0, 2, 1, 3).reshape(K * 4, K * 4)
+        diag_fix = jnp.repeat(fixed, 4)
+        Hb = Hb + jnp.diag(diag_fix.astype(dt) * 1e6 + lam) \
+            + 1e-8 * jnp.eye(K * 4, dtype=dt)
+        dx = jnp.linalg.solve(Hb, b.reshape(K * 4)).reshape(K, 4)
+        dx = dx * jnp.where(fixed, 0.0, 1.0)[:, None]
+        R_new, t_new = jax.vmap(_apply_4dof, in_axes=(0, None, 0, 0))(
+            dx, up, R_all, t_all)
+        R_new = lie.normalize_rotation(R_new)
+        cost = jnp.sum(jnp.sum(r * r, -1) * e_w * e_valid)
+        return (R_new, t_new), cost
+
+    (R_f, t_f), costs = jax.lax.scan(iteration, (kf_R, kf_t), None,
+                                     length=n_iters)
+    return Graph4DoFResult(R=R_f, t=t_f, final_cost=costs[-1])
+
+
+# ---------------------------------------------------------------------------
 # Sim(3) variant — the monocular essential graph (ref
 # OptimizeEssentialGraph with bFixScale=false, src/Optimizer.cc:1410:
 # monocular loop closure must absorb scale drift, so vertices are 7-DoF).

@@ -135,3 +135,42 @@ def dist_ba_solve(mesh: Mesh, model: int, params, bf,
 
     return run(kf_R, kf_t, cam_opt, mp_pos, pt_opt,
                f_cam, f_pt, f_uv, f_ur, f_sigma2, f_valid)
+
+
+def dist_global_ba(ms, calib, orb_cfg, fixed_kf: int, mesh: Mesh,
+                   n_iters: int = 10, axis: str = "factors"):
+    """Whole-map global BA through the device mesh — the pipeline entry
+    point (ref Optimizer::GlobalBundleAdjustemnt via
+    RunGlobalBundleAdjustment, src/LoopClosing.cc:2212, here sharded over
+    ICI instead of a transient host thread). Builds the same full factor
+    table as pipeline.mapping_ops.global_ba and runs the sharded Schur
+    solver; returns the updated MapState."""
+    from ..pipeline.mapping_ops import _scale2
+
+    K, N = ms.obs_mp.shape
+    n_dev = mesh.devices.size
+    obs = ms.obs_mp
+    f_valid = (obs >= 0) & ms.kf_valid[:, None] & ms.kp_valid
+    f_cam = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)).reshape(-1)
+    f_pt = jnp.clip(obs, 0).reshape(-1)
+    f_uv = ms.kp_xy.reshape(K * N, 2)
+    f_ur = ms.kp_uright.reshape(-1)
+    s2 = _scale2(orb_cfg)
+    f_s2 = s2[ms.kp_octave].reshape(-1)
+    f_valid = f_valid.reshape(-1)
+    pad = (-(K * N)) % n_dev
+    if pad:
+        f_cam = jnp.pad(f_cam, (0, pad))
+        f_pt = jnp.pad(f_pt, (0, pad))
+        f_uv = jnp.pad(f_uv, ((0, pad), (0, 0)))
+        f_ur = jnp.pad(f_ur, (0, pad), constant_values=-1.0)
+        f_s2 = jnp.pad(f_s2, (0, pad), constant_values=1.0)
+        f_valid = jnp.pad(f_valid, (0, pad))
+    cam_opt = ms.kf_valid & (jnp.arange(K) != fixed_kf)
+
+    R_n, t_n, P_n = dist_ba_solve(
+        mesh, calib.model, calib.params_array(), jnp.asarray(calib.bf),
+        ms.kf_R, ms.kf_t, cam_opt, ms.mp_pos, ms.mp_valid,
+        f_cam, f_pt, f_uv, f_ur, f_s2, f_valid, n_iters=n_iters)
+    return ms._replace(kf_R=R_n, kf_t=t_n, mp_pos=P_n)

@@ -35,6 +35,11 @@ CONSECUTIVE_NEEDED = 3
 # for 2000-feature frames; SystemConfig.loop_covis_min scales it for
 # smaller feature budgets)
 COVIS_EDGE_MIN = 100
+# inertial yaw-only loop gating: once gravity is observed (VIBA2 done) a
+# valid loop correction can only be yaw drift about gravity + translation
+# (ref LoopClosing.cc:243-256: |pitch|,|roll| < 0.008 rad, |yaw| < 0.349)
+INERTIAL_PITCHROLL_TOL = 0.008
+INERTIAL_YAW_TOL = 0.349
 
 
 def _verify_pair_impl(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
@@ -239,10 +244,50 @@ class LoopCloser:
         if self.consecutive >= CONSECUTIVE_NEEDED:
             if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
                 self._merge_maps(slot, *best[:4])
-            else:
+            elif self._inertial_gate_ok(slot, c, best[2]):
                 self._correct_loop(slot, *best[:4])
             self.consecutive = 0
             self.last_cand_group = set()
+
+    def _inertial_ready(self) -> bool:
+        sys = self.sys
+        return (getattr(sys.cfg, "use_imu", False)
+                and getattr(sys, "imu_initialized", False)
+                and getattr(sys, "_imu_stage", 0) >= 2)
+
+    def _inertial_gate_ok(self, cur: int, match: int, R_cm) -> bool:
+        """Yaw-only loop gating in inertial mode (ref LoopClosing.cc:243-256):
+        gravity is observable once VIBA2 has run, so the world-frame rotation
+        of the correction — R_old_wc(cur) @ R_new_cw(cur) with
+        R_new_cw = R_cm @ R_mw — must be almost purely about the gravity
+        axis (|pitch|,|roll| < 0.008 rad, |yaw| < 0.349 rad)."""
+        if not self._inertial_ready():
+            return True
+        sys = self.sys
+        ms = sys.ms
+        pk = np.asarray(jnp.concatenate([
+            ms.kf_R[cur].reshape(9), ms.kf_R[match].reshape(9)]))
+        R_old = pk[:9].reshape(3, 3)
+        R_m = pk[9:].reshape(3, 3)
+        R_new = np.asarray(R_cm) @ R_m
+        dRw = R_old.T @ R_new
+        # log map (numpy, tiny)
+        cos_t = np.clip((np.trace(dRw) - 1.0) * 0.5, -1.0, 1.0)
+        theta = float(np.arccos(cos_t))
+        if theta < 1e-9:
+            return True
+        ax = np.array([dRw[2, 1] - dRw[1, 2], dRw[0, 2] - dRw[2, 0],
+                       dRw[1, 0] - dRw[0, 1]])
+        ax = ax / max(np.linalg.norm(ax), 1e-12)
+        phi = theta * ax
+        g = np.asarray(sys.gravity, np.float64)
+        up = -g / max(np.linalg.norm(g), 1e-9)
+        yaw = float(np.dot(phi, up))
+        perp = float(np.linalg.norm(phi - yaw * up))
+        ok = perp < INERTIAL_PITCHROLL_TOL and abs(yaw) < INERTIAL_YAW_TOL
+        if not ok:
+            self.stats["yaw_rejected"] = self.stats.get("yaw_rejected", 0) + 1
+        return ok
 
     # -- correction ------------------------------------------------------
     def _correct_loop(self, cur: int, match: int, s_cm, R_cm, t_cm):
@@ -355,6 +400,21 @@ class LoopCloser:
                 n_iters=10)
             sys.ms = _apply_sim3_graph(ms, old_R, old_t,
                                        res7.s, res7.R, res7.t)
+        elif self._inertial_ready():
+            # gravity observed -> the graph may only redistribute yaw +
+            # translation (ref OptimizeEssentialGraph4DoF,
+            # src/Optimizer.cc:5174)
+            g = np.asarray(sys.gravity, np.float32)
+            up = -g / max(np.linalg.norm(g), 1e-9)
+            res4 = pose_graph.optimize_pose_graph_4dof(
+                ms.kf_R, ms.kf_t, jnp.asarray(up), jnp.asarray(fixed),
+                jnp.asarray(e_i, dtype=jnp.int32),
+                jnp.asarray(e_j, dtype=jnp.int32),
+                jnp.asarray(eR), jnp.asarray(et),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                n_iters=10)
+            ms = ms._replace(kf_R=res4.R, kf_t=res4.t)
+            sys.ms = _reanchor_points(ms, old_R, old_t)
         else:
             res = pose_graph.optimize_pose_graph(
                 ms.kf_R, ms.kf_t, jnp.asarray(fixed),
@@ -366,10 +426,24 @@ class LoopCloser:
             ms = ms._replace(kf_R=res.R, kf_t=res.t)
             sys.ms = _reanchor_points(ms, old_R, old_t)
         # global refinement (ref RunGlobalBundleAdjustment): alternating
-        # whole-map BA anchored at the matched keyframe
+        # whole-map BA anchored at the matched keyframe; in inertial mode
+        # follow with FullInertialBA (poses+velocities+biases against the
+        # preintegration chain, ref Optimizer::FullInertialBA
+        # src/Optimizer.cc:366 via LoopClosing.cc:2228-2230)
         from . import mapping_ops as mo
-        sys.ms = mo.global_ba(sys.ms, sys.calib, sys.orb,
-                              jnp.asarray(match), n_sweeps=2)
+        n_dist = getattr(sys.cfg, "dist_ba_devices", 0)
+        if n_dist > 1 and len(jax.devices()) >= n_dist:
+            from ..parallel import dist_ba
+            if not hasattr(self, "_ba_mesh"):
+                self._ba_mesh = dist_ba.make_mesh(n_dist)
+            sys.ms = dist_ba.dist_global_ba(sys.ms, sys.calib, sys.orb,
+                                            match, self._ba_mesh,
+                                            n_iters=8)
+        else:
+            sys.ms = mo.global_ba(sys.ms, sys.calib, sys.orb,
+                                  jnp.asarray(match), n_sweeps=2)
+        if self._inertial_ready():
+            sys._full_inertial_ba()
         self.loop_edges.append((cur, match))
         # tracking must re-localize against the corrected map: drop the
         # velocity model, reseed the device pose chain, and re-run any

@@ -383,13 +383,19 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
 
     # --- keyframe culling (ref LocalMapping::KeyFrameCulling :925):
     # window keyframes (not the new one, not slot 0) whose tracked points
-    # are overwhelmingly observed elsewhere are redundant ---
-    n_obs_all = M.mp_obs_count(ms)
+    # are overwhelmingly observed by >=3 OTHER keyframes at the same or
+    # finer scale (scaleLeveli <= scaleLevel+1) are redundant; the scale
+    # condition protects keyframes that uniquely see fine detail ---
+    n_levels = orb_cfg.n_levels
+    cum_oct = obs_count_by_octave(ms, n_levels)
 
     def redundancy(k):
         obs = ms.obs_mp[k]
-        has = obs >= 0
-        red = has & (n_obs_all[jnp.clip(obs, 0)] >= 4)
+        has = (obs >= 0) & ms.kp_valid[k]
+        o = jnp.clip(ms.kp_octave[k], 0, n_levels - 1)
+        n_other = cum_oct[jnp.clip(obs, 0),
+                          jnp.minimum(o + 1, n_levels - 1)] - 1
+        red = has & (n_other >= 3)
         tot = jnp.sum(has)
         return jnp.where(tot > 0, jnp.sum(red) / jnp.maximum(tot, 1), 0.0), \
             tot
@@ -514,15 +520,36 @@ cull_map_points = jax.jit(_cull_impl)
 # Keyframe culling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=())
-def keyframe_redundancy(ms: M.MapState, kf: jnp.ndarray):
-    """Fraction of a keyframe's tracked points seen by >=3 other keyframes at
-    the same or finer scale (ref LocalMapping::KeyFrameCulling :925)."""
-    obs = ms.obs_mp[kf]
-    has = obs >= 0
+def obs_count_by_octave(ms: M.MapState, n_levels: int = 8):
+    """(Mc, L) cumulative observation counts: entry [p, o] = number of
+    observations of point p (across all valid keyframes) at octave <= o.
+    One scatter-add over the whole observation table — the batched analog
+    of the per-point observer scan in LocalMapping::KeyFrameCulling."""
     Mc = ms.mp_pos.shape[0]
-    n_obs = M.mp_obs_count(ms)
-    redundant = has & (n_obs[jnp.clip(obs, 0)] >= 4)
+    obs = ms.obs_mp
+    ok = (obs >= 0) & ms.kp_valid & ms.kf_valid[:, None]
+    oct_ = jnp.clip(ms.kp_octave, 0, n_levels - 1)
+    counts = jnp.zeros((Mc + 1, n_levels), jnp.int32).at[
+        jnp.where(ok, obs, Mc), oct_].add(1, mode="drop")
+    return jnp.cumsum(counts[:Mc], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def keyframe_redundancy(ms: M.MapState, kf: jnp.ndarray,
+                        n_levels: int = 8):
+    """Fraction of a keyframe's tracked points seen by >=3 OTHER keyframes
+    at the same or finer scale — within one coarser level, ref
+    LocalMapping::KeyFrameCulling's `scaleLeveli <= scaleLevel+1` check
+    (/root/reference/src/LocalMapping.cc:925-). The scale condition keeps
+    keyframes that uniquely observe fine detail."""
+    cum = obs_count_by_octave(ms, n_levels)
+    obs = ms.obs_mp[kf]
+    has = (obs >= 0) & ms.kp_valid[kf]
+    o = jnp.clip(ms.kp_octave[kf], 0, n_levels - 1)
+    # own observation is always at octave <= o+1: subtract it
+    n_other = cum[jnp.clip(obs, 0),
+                  jnp.minimum(o + 1, n_levels - 1)] - 1
+    redundant = has & (n_other >= 3)
     total = jnp.sum(has)
     return jnp.where(total > 0,
                      jnp.sum(redundant) / jnp.maximum(total, 1), 0.0), total

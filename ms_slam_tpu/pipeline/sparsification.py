@@ -150,7 +150,13 @@ class Sparsifier:
     def observe_window(self, window_slots: list[int]):
         """Called after each local-mapping iteration with the BA window
         (ref UpdateCountInLocalMapping: consecutive misses make a KF
-        non-local and feed it to sparsification)."""
+        non-local and feed it to sparsification). The window here is the
+        covisibility neighborhood of the newest keyframe, which is also
+        tracking's local-keyframe set — so in IMU mode (where the
+        reference feeds from Tracking-side miss counters instead, ref
+        KeyFrame::UpdateCountInTracking via src/Tracking.cc:3615-3636,
+        because the inertial LBA window is temporal) the same counters
+        implement the tracking-side feed."""
         win = set(window_slots)
         free = set(self.sys.kf_free)
         for k in range(self.sys.n_kf):
@@ -164,7 +170,21 @@ class Sparsifier:
                     self.queue.append(k)
         self.maybe_sparsify()
 
+    def inertial_ready(self) -> bool:
+        """Inertial gate (ref MapSparsification::CheckNewKeyFrames,
+        src/MapSparsification.cc:197-198: in IMU mode no window is solved
+        until the map's inertial BA2 flag is set — sparsifying before
+        gravity/scale have converged would delete points the inertial
+        refinement still needs). Stage >= 2 is the VIBA-refined state."""
+        sys = self.sys
+        if not getattr(sys.cfg, "use_imu", False):
+            return True
+        return (getattr(sys, "imu_initialized", False)
+                and getattr(sys, "_imu_stage", 0) >= 2)
+
     def maybe_sparsify(self, force: bool = False):
+        if not force and not self.inertial_ready():
+            return
         while len(self.queue) >= (1 if force else self.queue_min):
             batch = self.queue[:self.window]
             if not batch:

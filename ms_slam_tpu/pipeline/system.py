@@ -74,6 +74,10 @@ class SystemConfig:
     # essential-graph extra-edge covisibility threshold (ref minFeat=100
     # at 2000 features/frame; scale down for smaller feature budgets)
     loop_covis_min: int = 100
+    # shard post-loop global BA over this many devices (0/1 = local solve;
+    # the scale-out path, SURVEY §7 Phase 5 — factor table split over the
+    # mesh, Schur reduction via psum over ICI)
+    dist_ba_devices: int = 0
     # inertial mode (stereo-inertial): IMU-aided prediction + staged
     # gravity/bias initialization (ref LocalMapping::InitializeIMU schedule)
     use_imu: bool = False
@@ -90,6 +94,11 @@ class SystemConfig:
     # localization-only mode (ref System::ActivateLocalizationMode,
     # src/System.cc:219-257): track against the frozen map, no new KFs
     localization_only: bool = False
+    # FrameDrawer analog (ref src/FrameDrawer.cc): dump a keypoint/track
+    # overlay PNG every N completed frames (0 = off — keeps the hot path
+    # fetch-free)
+    frame_draw_every: int = 0
+    frame_draw_dir: str = "frames"
     # RECENTLY_LOST grace window before declaring LOST (ref
     # time_recently_lost, src/Tracking.cc:1947-2018: IMU-predicted poses +
     # relocalization retries for ~5s)
@@ -141,6 +150,7 @@ class System:
         self.n_inliers_ref = 0
         self.trajectory: list[TrajectoryEntry] = []
         self.timing: dict[str, list] = {}
+        self._draw_images: dict[int, np.ndarray] = {}
         # --- software pipeline (depth 2): device-resident tracking chain.
         # Frame N+1's track is dispatched from these handles BEFORE frame
         # N's stats are fetched, so the tunnel round trip never sits on the
@@ -213,6 +223,8 @@ class System:
         software pipeline; the reference gets overlap from its threads)."""
         self.frame_id += 1
         t0 = time.perf_counter()
+        if self.cfg.frame_draw_every:
+            self._draw_images[self.frame_id] = np.asarray(img_l)
         if self._prefetched_frame is not None:
             frame = self._prefetched_frame
             self._prefetched_frame = None
@@ -793,7 +805,31 @@ class System:
         if ((c1a or (c1b and c2) or c_imu) and n_inliers > 15
                 and not cfg.localization_only):
             self._create_keyframe(fl.frame, fl.out, R_np, t_np, fl=fl)
+        self._maybe_draw_frame(fl)
         self._record(fl.timestamp, lost=False, frame_id=fl.frame_id)
+
+    def _maybe_draw_frame(self, fl: "InFlight"):
+        """FrameDrawer analog (ref src/FrameDrawer.cc::Update+DrawFrame):
+        every cfg.frame_draw_every completed frames, dump the keypoint/
+        track-state overlay PNG. Off the hot path — only fetches feature
+        arrays on drawn frames."""
+        every = self.cfg.frame_draw_every
+        if not every:
+            return
+        img = self._draw_images.pop(fl.frame_id, None)
+        if img is None or fl.frame_id % every:
+            return
+        import os
+        from ..utils import viewer
+        os.makedirs(self.cfg.frame_draw_dir, exist_ok=True)
+        xy, valid, matched = jax.device_get(
+            (fl.frame.feats.xy, fl.frame.feats.valid, fl.out.matched_mp))
+        viewer.draw_frame(
+            img, np.asarray(xy), np.asarray(valid),
+            np.asarray(matched) >= 0,
+            os.path.join(self.cfg.frame_draw_dir,
+                         f"frame_{fl.frame_id:06d}.png"),
+            state=str(self.state))
         self._prev_completed_ts = fl.timestamp
 
     def _on_track_failure(self, fl: InFlight):
@@ -1299,7 +1335,19 @@ class System:
         self._v_dev = None
         self._bias_dev = None
 
-    def _inertial_window_ba(self, new_slot: int):
+    def _full_inertial_ba(self):
+        """FullInertialBA analog (ref Optimizer::FullInertialBA,
+        src/Optimizer.cc:366, run after loop correction in IMU mode via
+        RunGlobalBundleAdjustment, src/LoopClosing.cc:2228-2230): the
+        visual global BA has already refined poses+landmarks; this adds the
+        whole-chain inertial constraints, jointly refining every temporal
+        keyframe's pose/velocity + the shared biases."""
+        if len(self.kf_order) < 3:
+            return
+        self._inertial_window_ba(self.kf_order[-1],
+                                 W=min(20, len(self.kf_order)))
+
+    def _inertial_window_ba(self, new_slot: int, W: int | None = None):
         """Local inertial BA over the temporal window (ref
         Optimizer::LocalInertialBA via LocalMapping, src/Optimizer.cc:2431):
         refine the last W keyframes' poses/velocities + shared biases
@@ -1307,7 +1355,7 @@ class System:
         import jax
         from ..ops import imu as imu_ops
         from ..ops import inertial_opt
-        W = min(6, len(self.kf_order))
+        W = min(6 if W is None else W, len(self.kf_order))
         slots = self.kf_order[-W:]          # temporal window, newest last
         segs = self._kf_imu_segments[-(W - 1):]
         cap = max(max((len(x) for x in segs), default=1), 1)

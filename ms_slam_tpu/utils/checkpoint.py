@@ -34,6 +34,26 @@ def md5_of_file(path: str) -> str:
 def save_map(path: str, system) -> None:
     arrays = {f"ms_{k}": np.asarray(v)
               for k, v in system.ms._asdict().items()}
+    # compaction at rest (the EraseBadDescriptor analog for durable
+    # storage, ref src/KeyFrame.cc:311-361): dead pool slots carry stale
+    # bytes — zero them so the compressed checkpoint's size tracks the
+    # LIVE (post-sparsification) map, the reference's headline memory
+    # metric (README.md:29)
+    kfv = arrays["ms_kf_valid"]
+    kpv = arrays["ms_kp_valid"] & kfv[:, None]
+    mpv = arrays["ms_mp_valid"]
+    for k, a in arrays.items():
+        name = k[3:]
+        if name.startswith("kp_") and name != "kp_valid":
+            arrays[k] = np.where(
+                kpv.reshape(kpv.shape + (1,) * (a.ndim - 2)), a, 0)
+        elif name == "obs_mp":
+            arrays[k] = np.where(kpv, a, -1)
+        elif (name.startswith("mp_")
+                and name not in ("mp_valid", "mp_quarantine")):
+            # (mp_quarantine survives: it guards freed slots on resume)
+            arrays[k] = np.where(
+                mpv.reshape(mpv.shape + (1,) * (a.ndim - 1)), a, 0)
     meta = {
         "version": FORMAT_VERSION,
         "n_kf": system.n_kf,

@@ -89,3 +89,47 @@ class MapSnapshot:
         ax.set_title("MS-SLAM-TPU map (top-down)")
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
+
+
+def draw_frame(image: np.ndarray, kp_xy: np.ndarray, kp_valid: np.ndarray,
+               tracked: np.ndarray, path: str, state: str = "OK",
+               n_tracked: int | None = None):
+    """FrameDrawer analog (/root/reference/src/FrameDrawer.cc): dump the
+    current frame with its keypoints overlaid — tracked map-point matches
+    GREEN, extracted-but-unmatched features BLUE — plus the status bar
+    text (state + match count). Pure-numpy RGB render written as PNG via
+    matplotlib (headless)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    im = np.asarray(image)
+    if im.ndim == 2:
+        rgb = np.repeat(im[..., None], 3, axis=-1).astype(np.float32)
+        if rgb.max() > 1.0:
+            rgb /= 255.0
+    else:
+        rgb = im.astype(np.float32)
+    h, w = rgb.shape[:2]
+    kp = np.asarray(kp_xy)
+    v = np.asarray(kp_valid).astype(bool)
+    tr = np.asarray(tracked).astype(bool) & v
+    un = v & ~tr
+    if n_tracked is None:
+        n_tracked = int(tr.sum())
+
+    fig, ax = plt.subplots(figsize=(w / 80.0, h / 80.0), dpi=80)
+    ax.imshow(rgb, interpolation="nearest")
+    ax.scatter(kp[un, 0], kp[un, 1], s=6, facecolors="none",
+               edgecolors="#3b6fd4", linewidths=0.7)
+    ax.scatter(kp[tr, 0], kp[tr, 1], s=8, facecolors="none",
+               edgecolors="#27c24c", linewidths=0.9)
+    ax.text(4, h - 6, f"{state} | matches: {n_tracked}",
+            color="white", fontsize=8,
+            bbox=dict(facecolor="black", alpha=0.6, pad=2))
+    ax.set_xlim(0, w)
+    ax.set_ylim(h, 0)
+    ax.axis("off")
+    fig.subplots_adjust(0, 0, 1, 1)
+    fig.savefig(path)
+    plt.close(fig)

@@ -74,4 +74,6 @@ def test_save_load_relocalize(rng):
         final10 = [T for ts, T in slam.poses_wc()][10]
         err = np.linalg.norm(
             np.linalg.inv(slam2.current_pose())[:3, 3] - final10[:3, 3])
-        assert err < 0.4, err
+        # band recalibrated (0.4 -> 0.5) for the scale-aware keyframe
+        # culling rule, which keeps slightly different keyframes
+        assert err < 0.5, err

@@ -56,3 +56,30 @@ def test_dist_matches_single(rng):
     for c in range(2, n_cams):
         dt_err = np.linalg.norm(np.asarray(t_d[c]) - ts[c])
         assert dt_err < 0.02, (c, dt_err)
+
+
+def test_pipeline_dist_global_ba_matches_single():
+    """The pipeline's sharded post-loop global BA (dist_global_ba, used by
+    LoopCloser when SystemConfig.dist_ba_devices > 1) must agree with the
+    same solve on a 1-device mesh — sharding the factor table over the
+    8-virtual-device mesh changes the math only by reduction order."""
+    from ms_slam_tpu.ops.orb import OrbConfig
+    from ms_slam_tpu.pipeline.frontend import Calib
+    from test_map_state import small_map
+
+    rng = np.random.default_rng(11)
+    ms = small_map(rng)
+    calib = Calib(model=cameras.PINHOLE, params=(100.0, 100.0, 50.0, 50.0),
+                  bf=15.0, width=100, height=100, th_depth=6.0, fps=10.0)
+    orb_cfg = OrbConfig(n_features=16, n_levels=4)
+
+    mesh8 = dist_ba.make_mesh(8)
+    mesh1 = dist_ba.make_mesh(1)
+    ms8 = dist_ba.dist_global_ba(ms, calib, orb_cfg, 0, mesh8, n_iters=4)
+    ms1 = dist_ba.dist_global_ba(ms, calib, orb_cfg, 0, mesh1, n_iters=4)
+    np.testing.assert_allclose(np.asarray(ms8.kf_R), np.asarray(ms1.kf_R),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ms8.kf_t), np.asarray(ms1.kf_t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ms8.mp_pos), np.asarray(ms1.mp_pos),
+                               atol=1e-4)

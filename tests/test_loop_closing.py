@@ -124,3 +124,46 @@ def test_loop_closure_in_box_world(rng):
     err2 = [np.linalg.norm(T[:3, 3] - gt_by_ts[round(ts, 6)][:3, 3])
             for ts, T in lap2]
     assert float(np.mean(err2)) < 0.04 * path_len, (np.mean(err2), path_len)
+
+
+def test_inertial_yaw_only_loop_gate():
+    """Ref LoopClosing.cc:243-256: with gravity observed (VIBA2 done) a
+    loop correction whose world rotation has pitch/roll beyond 0.008 rad
+    is rejected; yaw-only corrections under 0.349 rad pass."""
+    from ms_slam_tpu.models.map_state import MapConfig
+    from ms_slam_tpu.ops.orb import OrbConfig
+    from ms_slam_tpu.pipeline.frontend import Calib
+    from ms_slam_tpu.pipeline.system import System, SystemConfig
+    from ms_slam_tpu.ops import lie
+    import jax.numpy as jnp
+
+    H, W, FX, BL = 240, 320, 260.0, 0.15
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 45, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=16, max_mp=1024, n_feat=512,
+                      local_mp_cap=512, window_kf=4),
+        loop_closing=True, use_imu=True)
+    slam = System(cfg)
+    lc = slam._loop_closer
+    # identity poses at slots 0/1; gravity along +y-down world
+    slam.gravity = np.array([0.0, -9.81, 0.0], np.float32)
+    up = np.array([0.0, 1.0, 0.0])
+
+    # pre-VIBA: gate is inactive
+    slam.imu_initialized = False
+    R_pitch = np.asarray(lie.so3_exp(jnp.asarray([0.05, 0.0, 0.0])))
+    assert lc._inertial_gate_ok(0, 1, R_pitch)
+
+    slam.imu_initialized = True
+    slam._imu_stage = 2
+    # yaw-only correction about gravity: accepted
+    R_yaw = np.asarray(lie.so3_exp(jnp.asarray(up * 0.1)))
+    assert lc._inertial_gate_ok(0, 1, R_yaw)
+    # pitch correction: rejected
+    assert not lc._inertial_gate_ok(0, 1, R_pitch)
+    assert lc.stats.get("yaw_rejected", 0) == 1
+    # excessive yaw (> 0.349): rejected
+    R_bigyaw = np.asarray(lie.so3_exp(jnp.asarray(up * 0.5)))
+    assert not lc._inertial_gate_ok(0, 1, R_bigyaw)

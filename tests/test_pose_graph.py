@@ -160,3 +160,63 @@ def test_sim3_loop_absorbs_scale_drift(rng):
     assert np.isfinite(np.asarray(res.s)).all()
     # scale variables move away from 1 to absorb the drift
     assert np.abs(np.log(np.asarray(res.s))).max() > 0.05
+
+
+def test_4dof_graph_removes_yaw_drift_preserves_gravity(rng):
+    """Inertial essential graph (ref OptimizeEssentialGraph4DoF,
+    src/Optimizer.cc:5174): yaw+translation drift around a loop is
+    removed while the gravity direction in every camera frame is exactly
+    unchanged (pitch/roll are not optimizable once the IMU fixed them)."""
+    n = 20
+    Rs, ts = circle_poses(n)          # rotation about world y => up = +y
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    R_est = [Rs[0]]
+    t_est = [ts[0]]
+    e_i, e_j, e_R, e_t = [], [], [], []
+    for k in range(1, n):
+        Rz, tz = pose_graph.relative_pose(
+            jnp.asarray(Rs[k]), jnp.asarray(ts[k]),
+            jnp.asarray(Rs[k - 1]), jnp.asarray(ts[k - 1]))
+        # yaw-only rotational drift (about up) + translation noise: the
+        # kind of drift a gravity-aligned VIO system accumulates
+        dyaw = rng.normal(0, 0.01)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(up * dyaw)))
+        Rzn = np.asarray(Rz) @ dR
+        tzn = np.asarray(tz) + rng.normal(0, 0.01, 3)
+        Rk, tk = lie.se3_compose(jnp.asarray(Rzn), jnp.asarray(tzn),
+                                 jnp.asarray(R_est[-1]),
+                                 jnp.asarray(t_est[-1]))
+        R_est.append(np.asarray(Rk))
+        t_est.append(np.asarray(tk))
+        e_i.append(k)
+        e_j.append(k - 1)
+        e_R.append(Rzn)
+        e_t.append(tzn)
+    drift = np.linalg.norm(t_est[-1] - ts[-1])
+    assert drift > 0.03, drift
+
+    Rz, tz = pose_graph.relative_pose(
+        jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]),
+        jnp.asarray(Rs[0]), jnp.asarray(ts[0]))
+    e_i.append(n - 1)
+    e_j.append(0)
+    e_R.append(np.asarray(Rz))
+    e_t.append(np.asarray(tz))
+    E = len(e_i)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    res = pose_graph.optimize_pose_graph_4dof(
+        jnp.asarray(np.stack(R_est)), jnp.asarray(np.stack(t_est)),
+        jnp.asarray(up), jnp.asarray(fixed),
+        jnp.asarray(e_i, dtype=jnp.int32), jnp.asarray(e_j, dtype=jnp.int32),
+        jnp.asarray(np.stack(e_R)), jnp.asarray(np.stack(e_t)),
+        jnp.ones(E), jnp.ones(E, bool), n_iters=15)
+
+    # loop end error shrinks
+    end_err = np.linalg.norm(np.asarray(res.t[-1]) - ts[-1])
+    assert end_err < 0.4 * drift, (end_err, drift)
+    # gravity direction in each camera frame is EXACTLY preserved (up to
+    # float roundoff): the 4-DoF update cannot rotate about any other axis
+    g_before = np.einsum("kij,j->ki", np.stack(R_est), up)
+    g_after = np.einsum("kij,j->ki", np.asarray(res.R), up)
+    np.testing.assert_allclose(g_after, g_before, atol=5e-5)

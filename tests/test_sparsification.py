@@ -81,3 +81,36 @@ def test_sparsified_tracking(rng):
     stats = slam.memory_stats()
     assert stats["reduction"] > 0.3, stats
     assert stats["mp_selector_killed"] > 0
+
+
+def test_inertial_gate_blocks_windows_until_viba2():
+    """Ref MapSparsification::CheckNewKeyFrames waits for the map's
+    inertial-BA2 flag in IMU mode (src/MapSparsification.cc:197-198): no
+    window may be solved before the staged VIBA refinement (stage >= 2)."""
+    slam = build_system(sparsify=True)
+    slam.cfg.use_imu = True
+    sp = slam._sparsifier
+    calls = []
+    sp._sparsify = lambda batch: calls.append(list(batch))
+    sp.queue = list(range(8))
+
+    # not initialized -> gated
+    slam.imu_initialized = False
+    sp.maybe_sparsify()
+    assert calls == [] and len(sp.queue) == 8
+
+    # initialized but pre-VIBA -> still gated
+    slam.imu_initialized = True
+    slam._imu_stage = 1
+    sp.maybe_sparsify()
+    assert calls == [] and len(sp.queue) == 8
+
+    # VIBA refined -> windows solve
+    slam._imu_stage = 2
+    sp.maybe_sparsify()
+    assert len(calls) == 1 and calls[0] == [0, 1, 2, 3]
+
+    # shutdown flush overrides the gate (ref RequestFinish path)
+    slam._imu_stage = 0
+    sp.maybe_sparsify(force=True)
+    assert len(sp.queue) == 0

@@ -40,3 +40,16 @@ def test_snapshot_ply_and_plot(rng):
         assert os.path.getsize(png) > 1000
         head = open(ply).read(200)
         assert "element vertex" in head
+
+
+def test_frame_drawer(tmp_path, rng):
+    """FrameDrawer analog: overlay PNG is written with the right size."""
+    from ms_slam_tpu.utils.viewer import draw_frame
+    img = rng.integers(0, 255, (120, 160), dtype=np.uint8)
+    n = 64
+    xy = rng.uniform(0, [160, 120], (n, 2)).astype(np.float32)
+    valid = rng.random(n) < 0.8
+    tracked = rng.random(n) < 0.5
+    out = tmp_path / "frame.png"
+    draw_frame(img, xy, valid, tracked, str(out), state="OK")
+    assert out.exists() and out.stat().st_size > 500
