@@ -498,17 +498,22 @@ def global_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
 # ---------------------------------------------------------------------------
 
 def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray):
-    """Functional MapPointCulling (ref src/LocalMapping.cc:370): kill points
-    with low found/visible ratio or too few observations soon after
-    creation. Ages are measured in keyframes inserted since creation
-    (ordinals, not pool slots — slots are recycled)."""
+    """Functional MapPointCulling (ref src/LocalMapping.cc:370): the
+    reference only tests points still in mlpRecentAddedMapPoints — a point
+    that survives ~3 keyframes leaves the list and persists forever (its
+    later deletion is the sparsifier's job, the whole premise of MS-SLAM).
+    So the found/visible and min-observation tests apply ONLY to young
+    points; mature points are culled only when they lose every observation
+    (the shared_ptr-free analog). Ages are measured in keyframes inserted
+    since creation (ordinals, not pool slots — slots are recycled)."""
     age = current_kf_ord - ms.mp_first_ord
     n_obs = M.mp_obs_count(ms)
     ratio = ms.mp_found.astype(jnp.float32) / jnp.maximum(
         ms.mp_visible.astype(jnp.float32), 1.0)
+    young = age <= 3
     kill = ms.mp_valid & (
-        (ratio < 0.25)
-        | ((age >= 2) & (age <= 3) & (n_obs <= 2))
+        (young & (ratio < 0.25))
+        | (young & (age >= 2) & (n_obs <= 2))
         | (n_obs == 0))
     return M.delete_map_points(ms, kill), jnp.sum(kill).astype(jnp.int32)
 

@@ -58,3 +58,55 @@ def test_stereo_inertial(rng):
     path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
     rmse = ate_rmse(est_xyz, gt_xyz)
     assert rmse < 0.025 * path, (rmse, path)
+
+
+@pytest.mark.slow
+def test_inertial_blackout_bridged(rng):
+    """VERDICT r1 item 3 done-criterion: an 8-frame visual blackout (blank
+    images) after IMU initialization must be bridged by IMU-predicted poses
+    in the RECENTLY_LOST grace window (ref Tracking.cc:1947-2018 +
+    PredictStateIMU :1727) — tracking recovers on the SAME map, no Atlas
+    reset."""
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 40, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=64, max_mp=8192, n_feat=512,
+                      local_mp_cap=2048, window_kf=6),
+        min_init_depth_points=100, max_frames_between_kf=3,
+        use_imu=True, imu_init_kfs=6, imu_init_time=0.5)
+    slam = System(cfg)
+    world = synth.PlaneWorld(rng, z_wall=14.0, y_floor=2.0)
+    n_frames = 70
+    poses = synth.make_trajectory(n_frames, "arc")
+    frame_dt = 0.1
+    imu = synth.make_imu(poses, frame_dt, imu_rate=200)
+    blank = np.zeros((H, W), np.uint8)
+
+    saw_lost = False
+    for i, T_wc in enumerate(poses):
+        if 45 <= i < 53:
+            im_l, im_r = blank, blank
+        else:
+            im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        if i == 0:
+            slam.track_stereo(im_l, im_r, 0.0)
+        else:
+            slam.track_stereo_imu(im_l, im_r, frame_dt * i, imu[i - 1])
+        if slam.state == "RECENTLY_LOST":
+            saw_lost = True
+
+    slam._flush_pipeline()
+    assert slam.imu_initialized
+    assert saw_lost                      # the blackout was actually felt
+    assert slam.state == "OK"            # ...and bridged
+    assert slam.active_map == 0          # no Atlas reset: same map
+    # trajectory still sane on the visible frames
+    gt_by_ts = {round(frame_dt * i, 6): T for i, T in enumerate(poses)}
+    rows = [(ts, T) for ts, T in slam.poses_wc()
+            if not (4.5 - 1e-6 <= ts < 5.3 + 1e-6)]
+    est_xyz = np.stack([T[:3, 3] for ts, T in rows])
+    gt_xyz = np.stack([gt_by_ts[round(ts, 6)][:3, 3] for ts, _ in rows])
+    path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
+    rmse = ate_rmse(est_xyz, gt_xyz)
+    assert rmse < 0.06 * path, (rmse, path)
