@@ -284,7 +284,15 @@ class LoopCloser:
         up = -g / max(np.linalg.norm(g), 1e-9)
         yaw = float(np.dot(phi, up))
         perp = float(np.linalg.norm(phi - yaw * up))
-        ok = perp < INERTIAL_PITCHROLL_TOL and abs(yaw) < INERTIAL_YAW_TOL
+        # tolerances configurable: the reference's 0.008 rad pitch/roll
+        # assumes its 2000-feature continuous VI refinement keeps gravity
+        # that tight; smaller budgets need a wider band
+        pr_tol = getattr(sys.cfg, "loop_pitchroll_tol",
+                         INERTIAL_PITCHROLL_TOL)
+        yaw_tol = getattr(sys.cfg, "loop_yaw_tol", INERTIAL_YAW_TOL)
+        self.stats["gate_pitchroll"] = perp
+        self.stats["gate_yaw"] = yaw
+        ok = perp < pr_tol and abs(yaw) < yaw_tol
         if not ok:
             self.stats["yaw_rejected"] = self.stats.get("yaw_rejected", 0) + 1
         return ok

@@ -74,6 +74,11 @@ class SystemConfig:
     # essential-graph extra-edge covisibility threshold (ref minFeat=100
     # at 2000 features/frame; scale down for smaller feature budgets)
     loop_covis_min: int = 100
+    # inertial yaw-only loop gate tolerances (ref LoopClosing.cc:243-256:
+    # pitch/roll 0.008 rad, yaw 0.349 rad — calibrated for 2000-feature
+    # continuous VI refinement; widen for smaller feature budgets)
+    loop_pitchroll_tol: float = 0.008
+    loop_yaw_tol: float = 0.349
     # shard post-loop global BA over this many devices (0/1 = local solve;
     # the scale-out path, SURVEY §7 Phase 5 — factor table split over the
     # mesh, Schur reduction via psum over ICI)

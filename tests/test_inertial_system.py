@@ -110,3 +110,52 @@ def test_inertial_blackout_bridged(rng):
     path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
     rmse = ate_rmse(est_xyz, gt_xyz)
     assert rmse < 0.06 * path, (rmse, path)
+
+
+@pytest.mark.slow
+def test_inertial_loop_closure_preserves_gravity(rng):
+    """VERDICT r1 item 6 done-criterion: an inertial loop closure must go
+    through the yaw-gate + 4-DoF essential graph (ref
+    OptimizeEssentialGraph4DoF, src/Optimizer.cc:5174 + the yaw-only gating
+    LoopClosing.cc:243-256) and preserve the gravity direction after
+    correction."""
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 45, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=96, max_mp=12288, n_feat=512,
+                      local_mp_cap=2048, window_kf=6,
+                      grid_w=16, grid_h=12),
+        min_init_depth_points=100, max_frames_between_kf=3,
+        sparsify=True, sparsify_n=40, sparsify_window=4,
+        sparsify_queue_min=2, nonlocal_kf=3,
+        loop_closing=True, loop_covis_min=30,
+        loop_pitchroll_tol=0.05,     # 512-feat synthetic: wider band
+        use_imu=True, imu_init_kfs=6, imu_init_time=0.5)
+    slam = System(cfg)
+    world = synth.BoxWorld(rng, half=7.0)
+    frame_dt = 0.1
+    poses = synth.make_trajectory(80, "orbit")
+    poses = poses + poses[:20]           # second lap -> revisit
+    imu_lap = synth.make_imu(poses[:80], frame_dt, imu_rate=200)
+    imu = list(imu_lap) + list(synth.make_imu(poses[79:], frame_dt,
+                                              imu_rate=200))
+    for i, T_wc in enumerate(poses):
+        im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        if i == 0:
+            slam.track_stereo(im_l, im_r, 0.0)
+        else:
+            slam.track_stereo_imu(im_l, im_r, frame_dt * i, imu[i - 1])
+    slam._flush_pipeline()
+    assert slam.state == "OK"
+    assert slam.imu_initialized and slam._imu_stage >= 2
+    lc = slam._loop_closer
+    assert lc.stats["queries"] > 0
+    # the loop either closed through the gated 4-DoF path, or every
+    # candidate was yaw-rejected — on this yaw-drift-only synthetic orbit a
+    # verified loop must NOT be rejected by the gate
+    assert lc.stats["loops"] >= 1, lc.stats
+    # gravity direction survives the correction: world-down stays +y
+    g = slam.gravity
+    assert abs(np.linalg.norm(g) - 9.81) < 0.6, g
+    assert g[1] / np.linalg.norm(g) > 0.9, g
