@@ -19,8 +19,9 @@ def main():
     args = ap.parse_args()
 
     from ms_slam_tpu.pipeline.system import System
+    from ms_slam_tpu.utils import native
     from ms_slam_tpu.utils.config import Settings
-    from ms_slam_tpu.utils.datasets import EurocStereo
+    from ms_slam_tpu.utils.datasets import EurocStereo, with_lookahead
 
     st = Settings(args.settings)
     cfg = st.system_config()
@@ -32,13 +33,17 @@ def main():
         rect["cols"] = st.get("LEFT.width", "Camera.width", required=True)
     ds = EurocStereo(args.mav_dir, rect_from_settings=rect)
     slam = System(cfg)
+    print(f"native prefetch: {'ON' if native.available() else 'off'}",
+          file=sys.stderr)
     times = []
     n = len(ds) if args.max_frames is None else min(len(ds), args.max_frames)
-    for i, fr in enumerate(ds):
+    # native decode+rectify workers run ahead; the next pair's frontend
+    # overlaps this frame's host work (depth-2 device pipeline)
+    for i, (fr, nxt) in enumerate(with_lookahead(ds.frames())):
         if i >= n:
             break
         t0 = time.perf_counter()
-        slam.track_stereo(fr.left, fr.right, fr.timestamp)
+        slam.track_stereo(fr.left, fr.right, fr.timestamp, next_images=nxt)
         times.append(time.perf_counter() - t0)
         if i % 50 == 0:
             print(f"frame {i}/{n} state={slam.state} "

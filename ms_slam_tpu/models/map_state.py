@@ -60,6 +60,7 @@ class MapState(NamedTuple):
     kp_desc: jnp.ndarray         # (K,N,8) uint32
     kp_uright: jnp.ndarray       # (K,N) float32 (-1 mono)
     kp_depth: jnp.ndarray        # (K,N) float32 (-1 unknown)
+    kp_angle: jnp.ndarray        # (K,N) float32 keypoint orientation (rad)
     kp_valid: jnp.ndarray        # (K,N) bool
     obs_mp: jnp.ndarray          # (K,N) int32 map-point idx or -1
     # --- map point pool ---
@@ -68,6 +69,9 @@ class MapState(NamedTuple):
     mp_normal: jnp.ndarray       # (M,3) float32 mean viewing direction
     mp_min_dist: jnp.ndarray     # (M,) float32 scale-invariance range
     mp_max_dist: jnp.ndarray     # (M,)
+    mp_angle: jnp.ndarray        # (M,) float32 keypoint orientation at the
+    #   creating observation (rad) — drives the rotation-histogram check
+    #   in projection matching (ref keypoint angle of mpRefKF's obs)
     mp_valid: jnp.ndarray        # (M,) bool
     mp_sparsified: jnp.ndarray   # (M,) bool (kept by the selector)
     mp_first_kf: jnp.ndarray     # (M,) int32 reference keyframe SLOT
@@ -98,6 +102,7 @@ def empty_map(cfg: MapConfig) -> MapState:
         kp_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kp_uright=jnp.full((K, N), -1.0, f32),
         kp_depth=jnp.full((K, N), -1.0, f32),
+        kp_angle=jnp.zeros((K, N), f32),
         kp_valid=jnp.zeros((K, N), bool),
         obs_mp=jnp.full((K, N), -1, i32),
         mp_pos=jnp.zeros((M, 3), f32),
@@ -105,6 +110,7 @@ def empty_map(cfg: MapConfig) -> MapState:
         mp_normal=jnp.zeros((M, 3), f32),
         mp_min_dist=jnp.zeros((M,), f32),
         mp_max_dist=jnp.full((M,), 1e9, f32),
+        mp_angle=jnp.zeros((M,), f32),
         mp_valid=jnp.zeros((M,), bool),
         mp_sparsified=jnp.zeros((M,), bool),
         mp_first_kf=jnp.zeros((M,), i32),
@@ -210,12 +216,15 @@ def gather_local_points(ms: MapState, mask: jnp.ndarray, cap: int):
 def insert_keyframe(ms: MapState, slot: jnp.ndarray,
                     R: jnp.ndarray, t: jnp.ndarray,
                     xy, octave, desc, uright, depth, kp_valid, obs_mp,
-                    frame_id, kf_ord=None) -> MapState:
+                    frame_id, kf_ord=None, angle=None) -> MapState:
     """Write a keyframe into pool slot (ref Tracking::CreateNewKeyFrame +
     LocalMapping::ProcessNewKeyFrame insertion half)."""
     if kf_ord is None:
         kf_ord = slot
+    if angle is None:
+        angle = jnp.zeros_like(uright)
     return ms._replace(
+        kp_angle=ms.kp_angle.at[slot].set(angle),
         kf_R=ms.kf_R.at[slot].set(R),
         kf_t=ms.kf_t.at[slot].set(t),
         kf_valid=ms.kf_valid.at[slot].set(True),
@@ -260,12 +269,15 @@ def alloc_map_slots(ms: MapState, new_mask: jnp.ndarray):
 def add_map_points(ms: MapState, slots: jnp.ndarray, valid: jnp.ndarray,
                    pos: jnp.ndarray, desc: jnp.ndarray, normal: jnp.ndarray,
                    min_dist: jnp.ndarray, max_dist: jnp.ndarray,
-                   first_kf, first_ord=None) -> MapState:
+                   first_kf, first_ord=None, angle=None) -> MapState:
     """Batch-allocate map points into given slots where valid."""
     sl = jnp.where(valid, slots, ms.mp_pos.shape[0])  # drop invalid
     if first_ord is None:
         first_ord = first_kf
+    if angle is None:
+        angle = jnp.zeros_like(min_dist)
     return ms._replace(
+        mp_angle=ms.mp_angle.at[sl].set(angle, mode="drop"),
         mp_pos=ms.mp_pos.at[sl].set(pos, mode="drop"),
         mp_desc=ms.mp_desc.at[sl].set(desc, mode="drop"),
         mp_normal=ms.mp_normal.at[sl].set(normal, mode="drop"),

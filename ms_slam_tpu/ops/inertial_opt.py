@@ -179,7 +179,7 @@ def inertial_window_refine(
         R = lie.normalize_rotation(lie.so3_exp(d[:, 3:6]) @ R_wb)
         v = vels + d[:, 6:9]
         bg = bg0 + x[9 * W:9 * W + 3]
-        ba = ba0 + x[9 * W + 3:]
+        ba = ba0 + x[9 * W + 3:9 * W + 6]
         return R, p, v, bg, ba
 
     def visual_raw(x):
@@ -242,6 +242,244 @@ def inertial_window_refine(
     r = residuals(x, weights(x))
     return WindowRefineResult(R_wb=R, p_wb=p, vels=v, bg=bg, ba=ba,
                               cost=jnp.sum(r * r))
+
+
+class VIWindowResult(NamedTuple):
+    R_wb: jnp.ndarray    # (W,3,3)
+    p_wb: jnp.ndarray    # (W,3)
+    vels: jnp.ndarray    # (W,3)
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    mp_pos: jnp.ndarray  # (M,3) updated landmark pool
+    g: jnp.ndarray       # (3,) refined world gravity vector
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("model", "n_iters"))
+def vi_window_ba(
+    model: int, params: jnp.ndarray, bf: jnp.ndarray,
+    R_wb: jnp.ndarray, p_wb: jnp.ndarray, vels: jnp.ndarray,
+    kf_mask: jnp.ndarray,
+    preints: imu.PreintState,            # (W-1,) stacked, interval i->i+1
+    preint_valid: jnp.ndarray,           # (W-1,)
+    bg0: jnp.ndarray, ba0: jnp.ndarray, g: jnp.ndarray,
+    # window visual factors (point indices into the mp pool)
+    mp_pos: jnp.ndarray,                 # (M,3) landmark pool
+    f_pt: jnp.ndarray, f_kf: jnp.ndarray, f_uv: jnp.ndarray,
+    f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
+    # anchor factors: observations of the same points from FIXED cameras
+    # just outside the window (camera-frame poses, ref LocalInertialBA's
+    # lFixedKeyFrames, src/Optimizer.cc:2550)
+    a_Rcw: jnp.ndarray, a_tcw: jnp.ndarray,         # (Ac,3,3),(Ac,3)
+    a_cam: jnp.ndarray, a_pt: jnp.ndarray, a_uv: jnp.ndarray,
+    a_ur: jnp.ndarray, a_sigma2: jnp.ndarray, a_valid: jnp.ndarray,
+    walk_info: jnp.ndarray,
+    R_bc: jnp.ndarray = None, t_bc: jnp.ndarray = None,
+    n_iters: int = 5,
+) -> VIWindowResult:
+    """Full visual-inertial local BA (ref Optimizer::LocalInertialBA,
+    /root/reference/src/Optimizer.cc:2431): jointly refine the temporal
+    window keyframes' poses/velocities + shared bias AND the observed
+    landmarks, with fixed out-of-window observers anchoring shared points.
+    Freeing the landmarks is what lets accelerometer-observed tilt
+    corrections actually stick — with fixed landmarks the visual factors
+    pin the window to the drifted map and pitch/roll drift accumulates
+    (the reference runs this full VI BA on every keyframe once IMU is
+    initialized, src/LocalMapping.cc:150-155).
+
+    Solver: JOINT Gauss-Newton with Schur elimination of the landmarks —
+    the (9W+6)-dim pose/velocity/bias block via jacfwd (it is tiny), the
+    per-point 3x3 blocks and the (M, 9W+6, 3) coupling analytically, then
+    one dense reduced solve per iteration. (A block-coordinate pose/point
+    alternation was tried first and creeps along the strongly-coupled
+    pose-landmark directions — tens of sweeps to converge; the joint
+    step converges in ~5.)
+    """
+    W = R_wb.shape[0]
+    dt = R_wb.dtype
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=dt)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, dt)
+    M = mp_pos.shape[0]
+    is_stereo = f_ur >= 0.0
+    a_is_stereo = a_ur >= 0.0
+    w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    a_w_info = jnp.where(a_valid, 1.0 / jnp.maximum(a_sigma2, 1e-12), 0.0)
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+    a_hub_d2 = jnp.where(a_is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+
+    def win_cams(x):
+        d = x[:9 * W].reshape(W, 9)
+        # HARD gauge: the oldest window keyframe's pose is fixed (its
+        # velocity/bias stay free) — a soft prior lets the whole bundle
+        # slide along the gauge null-mode, one step per BCD sweep
+        d = d.at[0, :6].set(0.0)
+        p = p_wb + d[:, :3]
+        R = lie.normalize_rotation(lie.so3_exp(d[:, 3:6]) @ R_wb)
+        v = vels + d[:, 6:9]
+        bg = bg0 + x[9 * W:9 * W + 3]
+        ba = ba0 + x[9 * W + 3:9 * W + 6]
+        # camera pose per window KF: T_wc = T_wb * T_bc -> T_cw
+        Rc = R @ R_bc
+        pc = jnp.einsum("kij,j->ki", R, t_bc) + p
+        R_cw = jnp.swapaxes(Rc, -1, -2)
+        t_cw = -jnp.einsum("kij,kj->ki", R_cw, pc)
+        return R, p, v, bg, ba, R_cw, t_cw
+
+    def proj_res(R_cw_f, t_cw_f, X, uv, ur, stereo):
+        Xc = jnp.einsum("fij,fj->fi", R_cw_f, X) + t_cw_f
+        uvp = cameras.project(model, params, Xc)
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        urp = uvp[..., 0] - bf / z
+        r2 = uv - uvp
+        r3 = jnp.where(stereo, ur - urp, 0.0)
+        return jnp.concatenate([r2, r3[..., None]], -1), Xc
+
+    # state: 9 per window KF (dp, dtheta, dv) + 6 shared bias + 2 gravity
+    # direction (ref VertexGDir in InertialOptimization,
+    # src/Optimizer.cc:3050 — holding gravity fixed while the VI BA runs on
+    # a tilted map locks the tilt in; making its direction a state lets the
+    # accelerometer, not the stale estimate, set "down")
+    D = 9 * W + 8
+    sqrt_walk = jnp.sqrt(walk_info)
+    # orthonormal basis of the plane perpendicular to the current gravity
+    g_norm = g / jnp.maximum(jnp.linalg.norm(g), 1e-9)
+    ref_ax = jnp.where(jnp.abs(g_norm[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0], dt),
+                       jnp.asarray([0.0, 1.0, 0.0], dt))
+    e1 = jnp.cross(g_norm, ref_ax)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+    e2 = jnp.cross(g_norm, e1)
+
+    def gravity_of(x):
+        rv = x[9 * W + 6] * e1 + x[9 * W + 7] * e2
+        return lie.so3_exp(rv) @ g
+
+    def visual_raw(x, X):
+        _, _, _, _, _, R_cw, t_cw = win_cams(x)
+        return proj_res(R_cw[f_kf], t_cw[f_kf], X, f_uv, f_ur, is_stereo)
+
+    def inertial_raw(x):
+        R, p, v, bg, ba, _, _ = win_cams(x)
+        g_cur = gravity_of(x)
+
+        def one(i):
+            st = jax.tree.map(lambda a: a[i], preints)
+            r = imu.inertial_residual(st, R[i], v[i], p[i],
+                                      R[i + 1], v[i + 1], p[i + 1],
+                                      bg, ba, g_cur)
+            L = imu.sqrt_information(st)
+            ok = preint_valid[i] & kf_mask[i] & kf_mask[i + 1]
+            return jnp.where(ok, L.T @ r, 0.0)
+
+        return jax.vmap(one)(jnp.arange(W - 1))      # (W-1,9) whitened
+
+    def stacked_res(x, X, sw, si):
+        rv, _ = visual_raw(x, X)
+        rv = rv * sw[:, None]
+        ri = inertial_raw(x) * si[:, None]
+        rb = x[9 * W:9 * W + 6] * sqrt_walk
+        # weak prior on the gravity-direction tangent (sigma 0.05 rad per
+        # call) — enough accel baseline overrides it instantly
+        rgd = x[9 * W + 6:] * 20.0
+        # Tikhonov on the hard-masked first-pose tangent keeps its Hessian
+        # block nonsingular (the mask zeroes its Jacobian columns)
+        rg = x[:6] * 1.0
+        return jnp.concatenate([rv.reshape(-1), ri.reshape(-1), rb,
+                                rgd, rg])
+
+    def point_jac(Rf, Xc, stereo):
+        """Analytic d(res)/dX_world: (F,3,3)."""
+        z = Xc[..., 2]
+        Jproj = cameras.project_jac(model, params, Xc)
+        zc = jnp.maximum(z, 1e-6)
+        dur = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(zc), jnp.zeros_like(zc), bf / (zc * zc)], -1)
+        J3 = jnp.concatenate([Jproj, dur[:, None, :]], 1)
+        J3 = J3 * jnp.where(
+            stereo[:, None, None], jnp.ones((1, 3, 1), dt),
+            jnp.asarray([1.0, 1.0, 0.0], dt)[None, :, None])
+        return -jnp.einsum("fij,fjk->fik", J3, Rf)
+
+    # anchor factors never change (fixed cameras): fold their per-point
+    # Hessian/gradient contribution ONCE per iteration
+    def anchor_blocks(P_all):
+        Xa = P_all[a_pt]
+        Rf = a_Rcw[a_cam]
+        rv, Xc = proj_res(Rf, a_tcw[a_cam], Xa, a_uv, a_ur, a_is_stereo)
+        chi2 = jnp.sum(rv * rv, -1) * a_w_info
+        w = robust.huber_weight(chi2, a_hub_d2) * a_w_info \
+            * (Xc[..., 2] > 1e-2) * a_valid
+        Jp = point_jac(Rf, Xc, a_is_stereo)
+        JpW = Jp * w[:, None, None]
+        Hpp = jnp.zeros((M, 3, 3), dt).at[a_pt].add(
+            jnp.einsum("fij,fik->fjk", JpW, Jp))
+        bp = jnp.zeros((M, 3), dt).at[a_pt].add(
+            -jnp.einsum("fij,fi->fj", JpW, rv))
+        return Hpp, bp
+
+    touched = jnp.zeros((M,), bool).at[f_pt].max(f_valid)
+
+    def gn(i, carry):
+        x, P_all = carry
+        X = P_all[f_pt]
+        rv, Xc = visual_raw(x, X)
+        chi2 = jnp.sum(rv * rv, -1) * w_info
+        w = robust.huber_weight(chi2, hub_d2) * w_info \
+            * (Xc[..., 2] > 1e-2)
+        sw = jax.lax.stop_gradient(jnp.sqrt(w))
+        # Huber on the whitened inertial chain (ref LocalInertialBA puts
+        # RobustKernelHuber delta=sqrt(16.92) on EdgeInertial,
+        # src/Optimizer.cc:2499-2501)
+        ri = inertial_raw(x)
+        chi2_i = jnp.sum(ri * ri, -1)
+        si = jax.lax.stop_gradient(
+            jnp.sqrt(robust.huber_weight(chi2_i, 16.92)))
+
+        r = stacked_res(x, X, sw, si)
+        Jx = jax.jacfwd(stacked_res)(x, X, sw, si)       # (R, D)
+        Hxx = Jx.T @ Jx
+        bx = -Jx.T @ r
+
+        # point blocks + coupling (window factors; sw-whitened to match
+        # the rv rows of stacked_res)
+        Jp = point_jac(
+            win_cams(x)[5][f_kf], Xc, is_stereo) * sw[:, None, None]
+        F_ = f_pt.shape[0]
+        Jv = Jx[:3 * F_].reshape(F_, 3, D)               # weighted rows
+        Hpp, bp = anchor_blocks(P_all)
+        Hpp = Hpp.at[f_pt].add(jnp.einsum("fij,fik->fjk", Jp, Jp))
+        rvw = rv * sw[:, None]
+        bp = bp.at[f_pt].add(-jnp.einsum("fij,fi->fj", Jp, rvw))
+        Wc = jnp.zeros((M, D, 3), dt).at[f_pt].add(
+            jnp.einsum("fiD,fij->fDj", Jv, Jp))
+
+        # damping (Levenberg): g2o runs LM, not plain GN
+        Hxx = Hxx + 1e-3 * jnp.diag(jnp.diag(Hxx)) \
+            + 1e-6 * jnp.eye(D, dtype=dt)
+        Hpp = Hpp + 1e-3 * jax.vmap(
+            lambda h: jnp.diag(jnp.diag(h)))(Hpp) \
+            + 1e-6 * jnp.eye(3, dtype=dt)
+        Hpp_inv = lie.inv3x3(Hpp)
+
+        # Schur reduce onto the pose/velocity/bias block (2-D matmuls)
+        Y = jnp.einsum("pDx,pxy->pDy", Wc, Hpp_inv)      # (M,D,3)
+        Yr = Y.transpose(1, 0, 2).reshape(D, M * 3)
+        Wr = Wc.transpose(1, 0, 2).reshape(D, M * 3)
+        S = Hxx - Yr @ Wr.T
+        v = bx - Yr @ bp.reshape(M * 3)
+        dx = jnp.linalg.solve(S + 1e-8 * jnp.eye(D, dtype=dt), v)
+        dxp = jnp.einsum("pxy,py->px", Hpp_inv,
+                         bp - jnp.einsum("pDx,D->px", Wc, dx))
+        return x + dx, P_all + dxp * touched[:, None]
+
+    x0 = jnp.zeros(D, dt)
+    x, P_new = jax.lax.fori_loop(0, n_iters, gn, (x0, mp_pos))
+    R, p, v, bg, ba, _, _ = win_cams(x)
+    return VIWindowResult(R_wb=R, p_wb=p, vels=v, bg=bg, ba=ba,
+                          mp_pos=P_new, g=gravity_of(x),
+                          cost=jnp.zeros((), dt))
 
 
 class InertialInitResult(NamedTuple):

@@ -20,6 +20,31 @@ from . import cameras, hamming, lie
 TH_HIGH = 100
 TH_LOW = 50
 BIG = 1_000_000
+HISTO_LENGTH = 30   # rotation-histogram bins (ref ORBmatcher.cc:37)
+
+
+def rotation_consistency(idx_b: jnp.ndarray, angle_a: jnp.ndarray,
+                         angle_b: jnp.ndarray,
+                         n_bins: int = HISTO_LENGTH) -> jnp.ndarray:
+    """Global in-plane-rotation consistency filter (ref ORBmatcher's
+    rotHist + ComputeThreeMaxima, src/ORBmatcher.cc:233-414 and every other
+    Search*): vote each match's keypoint-angle difference into n_bins,
+    keep only matches in the top-3 bins (bins 2/3 dropped when under 10%
+    of the max). Batched: one scatter-add histogram + top_k, no loops.
+
+    idx_b: (Na,) match of a-feature -> b index, -1 = none. angle_a/angle_b
+    in radians. Returns idx_b with inconsistent matches reset to -1."""
+    valid = idx_b >= 0
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(angle_a - angle_b[jnp.clip(idx_b, 0)], two_pi)
+    b = jnp.floor(rot * (n_bins / two_pi)).astype(jnp.int32) % n_bins
+    counts = jnp.zeros((n_bins,), jnp.int32).at[
+        jnp.where(valid, b, n_bins)].add(1, mode="drop")
+    top_v, top_i = jax.lax.top_k(counts, 3)
+    keep_bin = top_v >= jnp.maximum(
+        (0.1 * top_v[0]).astype(top_v.dtype), 1)
+    bin_ok = jnp.zeros((n_bins,), bool).at[top_i].max(keep_bin)
+    return jnp.where(valid & bin_ok[b], idx_b, -1)
 
 
 class ProjMatches(NamedTuple):
@@ -45,6 +70,8 @@ def search_by_projection(
     f_valid: jnp.ndarray,
     th_radius: float, nn_ratio: float, scale_factor: float, n_levels: int,
     check_view_angle: bool = True,
+    pt_angle: jnp.ndarray | None = None,
+    f_angle: jnp.ndarray | None = None,
 ) -> ProjMatches:
     """Track-local-map association (ref ORBmatcher::SearchByProjection:43 +
     Frame::isInFrustum gating from Tracking::SearchLocalPoints).
@@ -99,6 +126,11 @@ def search_by_projection(
     tgt = jnp.where(pt_good, best_f, N)
     mp_slot = jnp.full((N,), -1, jnp.int32).at[tgt].set(
         jnp.arange(L, dtype=jnp.int32), mode="drop")
+    if pt_angle is not None and f_angle is not None:
+        # orientation consistency vote over the final assignment (ref
+        # rotation-histogram check in SearchByProjection, ORBmatcher.cc)
+        mp_slot = rotation_consistency(
+            mp_slot, f_angle, pt_angle)
     return ProjMatches(mp_slot=mp_slot,
                        n_matches=jnp.sum(mp_slot >= 0).astype(jnp.int32),
                        visible=visible)
@@ -112,7 +144,9 @@ class BowLikeMatches(NamedTuple):
 def mutual_match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                  desc_b: jnp.ndarray, valid_b: jnp.ndarray,
                  max_dist: int = TH_LOW, nn_ratio: float = 0.7,
-                 extra_mask: jnp.ndarray | None = None) -> BowLikeMatches:
+                 extra_mask: jnp.ndarray | None = None,
+                 angle_a: jnp.ndarray | None = None,
+                 angle_b: jnp.ndarray | None = None) -> BowLikeMatches:
     """Frame<->keyframe descriptor matching (stands in for SearchByBoW,
     ref ORBmatcher.cc:223/872 — the BoW FeatureVector there only restricts
     candidates for speed; a full masked matrix is cheaper on the MXU).
@@ -133,9 +167,12 @@ def mutual_match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     best_a_of_b = jnp.argmin(d, axis=0)
     mutual = best_a_of_b[best_b] == jnp.arange(desc_a.shape[0])
     good &= mutual
-    idx_b = jnp.where(good, best_b, -1)
-    return BowLikeMatches(idx_b=idx_b.astype(jnp.int32),
-                          n_matches=jnp.sum(good).astype(jnp.int32))
+    idx_b = jnp.where(good, best_b, -1).astype(jnp.int32)
+    if angle_a is not None and angle_b is not None:
+        # orientation consistency (ref SearchByBoW rotation histogram)
+        idx_b = rotation_consistency(idx_b, angle_a, angle_b)
+    return BowLikeMatches(idx_b=idx_b,
+                          n_matches=jnp.sum(idx_b >= 0).astype(jnp.int32))
 
 
 def epipolar_mask(model: int, params: jnp.ndarray,

@@ -49,7 +49,7 @@ class SelectResult(NamedTuple):
     kf_cover: jnp.ndarray    # (K,) final per-KF kept-observation counts
 
 
-@partial(jax.jit, static_argnames=("n_cells", "n_iters"))
+@partial(jax.jit, static_argnames=("n_cells", "n_iters", "n_prune"))
 def select_points(
     obs_pt: jnp.ndarray, obs_cell: jnp.ndarray, obs_valid: jnp.ndarray,
     cost: jnp.ndarray, p_valid: jnp.ndarray,
@@ -58,6 +58,7 @@ def select_points(
     lam_grid: float | jnp.ndarray = 10.0,
     n_cells: int = 64 * 48,
     n_iters: int = 60,
+    n_prune: int = 96,
 ) -> SelectResult:
     """Solve the selection problem.
 
@@ -144,6 +145,34 @@ def select_points(
     keep_obs = (sel_obs | topup | cell_best) & obs_ok
     keep = jnp.zeros((P + 1,), bool).at[
         jnp.where(keep_obs, pt, P).reshape(-1)].set(True)[:P] & p_valid
+
+    # --- prune: the union repair overshoots (a point topped-up for one
+    # row may be redundant for every constraint once the union settles).
+    # Greedy sequential drop of the most expensive SAFE point — safe =
+    # removing it leaves every row at/above its requirement and every
+    # occupied cell covered — mirrors how the exact ILP only pays for
+    # points a constraint actually needs (MIPGap 0.002 reference bar).
+    ptc = jnp.clip(obs_pt, 0, P - 1)
+    row_ix = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
+
+    def prune_body(i, keep):
+        kept_obs = keep[ptc] & obs_ok
+        slack = jnp.sum(kept_obs, axis=1) - req_kf            # (K,)
+        cell_cover = jnp.zeros((K * n_cells + 1,), jnp.int32).at[
+            jnp.where(kept_obs, gcell, K * n_cells).reshape(-1)].add(1)
+        # per-(row, point) kept-observation counts
+        cnt = jnp.zeros((K, P + 1), jnp.int32).at[
+            row_ix, jnp.where(kept_obs, pt, P)].add(1)[:, :P]
+        row_ok = jnp.all((cnt == 0) | (slack[:, None] >= cnt), axis=0)
+        # p holds the sole cover of some occupied constrained cell?
+        sole = kept_obs & cell_ok & (cell_cover[gcell] <= 1)
+        sole_p = jnp.zeros((P + 1,), bool).at[
+            jnp.where(sole, pt, P).reshape(-1)].set(True)[:P]
+        safe = keep & row_ok & ~sole_p & (cost > 0)
+        j = jnp.argmax(jnp.where(safe, cost, -1.0))
+        return keep.at[j].set(keep[j] & ~safe[j])
+
+    keep = jax.lax.fori_loop(0, n_prune, prune_body, keep)
 
     kept_obs = keep[jnp.clip(obs_pt, 0, P - 1)] & obs_ok
     kf_cover = jnp.sum(kept_obs, axis=1).astype(jnp.int32)

@@ -53,7 +53,9 @@ def _verify_pair_impl(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
     va = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] >= 0)
     vb = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] >= 0)
     mm = matching.mutual_match(ms.kp_desc[kf_a], va, ms.kp_desc[kf_b], vb,
-                               max_dist=matching.TH_LOW, nn_ratio=0.75)
+                               max_dist=matching.TH_LOW, nn_ratio=0.75,
+                               angle_a=ms.kp_angle[kf_a],
+                               angle_b=ms.kp_angle[kf_b])
     has = mm.idx_b >= 0
     ib = jnp.clip(mm.idx_b, 0)
     mp_a = ms.obs_mp[kf_a]
@@ -243,7 +245,13 @@ class LoopCloser:
         self.stats["verified"] += 1
         if self.consecutive >= CONSECUTIVE_NEEDED:
             if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
-                self._merge_maps(slot, *best[:4])
+                # cross-map merges get the gravity-consistency gate too
+                # (ref applies the pitch/roll check in common-region
+                # detection for loop AND merge candidates,
+                # LoopClosing.cc:243-256); widened 2x — merge hypotheses
+                # span maps whose relative tilt is less refined
+                if self._inertial_gate_ok(slot, c, best[2], tol_scale=2.0):
+                    self._merge_maps(slot, *best[:4])
             elif self._inertial_gate_ok(slot, c, best[2]):
                 self._correct_loop(slot, *best[:4])
             self.consecutive = 0
@@ -255,7 +263,8 @@ class LoopCloser:
                 and getattr(sys, "imu_initialized", False)
                 and getattr(sys, "_imu_stage", 0) >= 2)
 
-    def _inertial_gate_ok(self, cur: int, match: int, R_cm) -> bool:
+    def _inertial_gate_ok(self, cur: int, match: int, R_cm,
+                          tol_scale: float = 1.0) -> bool:
         """Yaw-only loop gating in inertial mode (ref LoopClosing.cc:243-256):
         gravity is observable once VIBA2 has run, so the world-frame rotation
         of the correction — R_old_wc(cur) @ R_new_cw(cur) with
@@ -287,9 +296,10 @@ class LoopCloser:
         # tolerances configurable: the reference's 0.008 rad pitch/roll
         # assumes its 2000-feature continuous VI refinement keeps gravity
         # that tight; smaller budgets need a wider band
-        pr_tol = getattr(sys.cfg, "loop_pitchroll_tol",
-                         INERTIAL_PITCHROLL_TOL)
-        yaw_tol = getattr(sys.cfg, "loop_yaw_tol", INERTIAL_YAW_TOL)
+        pr_tol = tol_scale * getattr(sys.cfg, "loop_pitchroll_tol",
+                                     INERTIAL_PITCHROLL_TOL)
+        yaw_tol = tol_scale * getattr(sys.cfg, "loop_yaw_tol",
+                                      INERTIAL_YAW_TOL)
         self.stats["gate_pitchroll"] = perp
         self.stats["gate_yaw"] = yaw
         ok = perp < pr_tol and abs(yaw) < yaw_tol

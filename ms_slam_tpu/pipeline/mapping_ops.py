@@ -68,11 +68,12 @@ def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
 
     ms = M.insert_keyframe(ms, slot, R, t, f.xy, f.octave, f.desc,
                            frame.u_right, frame.depth, f.valid, obs, frame_id,
-                           kf_ord=kf_ord)
+                           kf_ord=kf_ord, angle=f.angle)
     ms = M.add_map_points(ms, slots, ok,
                           Xw, f.desc, normal, min_dist, max_dist,
                           jnp.broadcast_to(slot, new_mask.shape),
-                          jnp.broadcast_to(kf_ord, new_mask.shape))
+                          jnp.broadcast_to(kf_ord, new_mask.shape),
+                          angle=f.angle)
     n_new = jnp.sum(ok).astype(jnp.int32)
     return ms, n_new
 
@@ -107,7 +108,9 @@ def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     mm = matching.mutual_match(ms.kp_desc[kf_a], free_a,
                                ms.kp_desc[kf_b], free_b,
                                max_dist=matching.TH_LOW, nn_ratio=0.6,
-                               extra_mask=epi)
+                               extra_mask=epi,
+                               angle_a=ms.kp_angle[kf_a],
+                               angle_b=ms.kp_angle[kf_b])
     has = (mm.idx_b >= 0) & b_ok
     ib = jnp.clip(mm.idx_b, 0)
 
@@ -150,7 +153,8 @@ def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     ms = M.add_map_points(ms, slots, ok, Xw,
                           ms.kp_desc[kf_a], normal, min_dist, max_dist,
                           jnp.broadcast_to(kf_a, good.shape),
-                          jnp.broadcast_to(kf_ord, good.shape))
+                          jnp.broadcast_to(kf_ord, good.shape),
+                          angle=ms.kp_angle[kf_a])
     # write observations in both keyframes
     slot_or_neg = jnp.where(ok, slots, -1).astype(jnp.int32)
     obs_a = jnp.where(slot_or_neg >= 0, slot_or_neg, ms.obs_mp[kf_a])
@@ -313,12 +317,12 @@ class MappingStepOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
-                                   "n_fixed", "pt_cap", "ba_iters"),
+                                   "n_fixed", "pt_cap", "ba_iters", "do_ba"),
          donate_argnames=("ms",))
 def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                  kf_slot: jnp.ndarray, kf_ord: jnp.ndarray,
                  n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
-                 ba_iters: int) -> MappingStepOut:
+                 ba_iters: int, do_ba: bool = True) -> MappingStepOut:
     """The whole LocalMapping iteration as one device call (ref
     LocalMapping::Run body, src/LocalMapping.cc:68-: triangulation against
     covisible neighbors, duplicate fusion, windowed BA, point culling) —
@@ -374,9 +378,18 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         jnp.where(demote, win_idx[oldest_pos], fix_idx[0]))
     fix_mask = fix_mask.at[0].set(fix_mask[0] | demote)
 
-    outba = _local_ba_impl(ms, calib, orb_cfg, win_idx, win_mask,
-                           fix_idx, fix_mask, n_fixed, pt_cap, ba_iters)
-    ms = outba.ms
+    # do_ba=False: the caller replaces the visual window BA with the
+    # visual-inertial one (ref LocalMapping.cc:150-155 runs EITHER
+    # LocalInertialBA OR LocalBundleAdjustment, never both — two
+    # optimizers with different gauges fight each other)
+    if do_ba:
+        outba = _local_ba_impl(ms, calib, orb_cfg, win_idx, win_mask,
+                               fix_idx, fix_mask, n_fixed, pt_cap, ba_iters)
+        ms = outba.ms
+        ba_factors, ba_outliers = outba.n_factors, outba.n_outliers
+    else:
+        ba_factors = jnp.zeros((), jnp.int32)
+        ba_outliers = jnp.zeros((), jnp.int32)
 
     # --- point culling ---
     ms, n_culled = _cull_impl(ms, kf_ord)
@@ -410,7 +423,7 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     win_mask = win_mask & ~kf_kill
 
     info = jnp.concatenate([
-        jnp.stack([n_tri_new, outba.n_factors, outba.n_outliers,
+        jnp.stack([n_tri_new, ba_factors, ba_outliers,
                    n_culled]).astype(jnp.int32),
         jnp.where(win_mask, win_idx, -1).astype(jnp.int32),
         # culled keyframe slots (feeds the host KF free-list)
@@ -428,7 +441,7 @@ class KeyframeStepOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
-                                   "n_fixed", "pt_cap", "ba_iters"),
+                                   "n_fixed", "pt_cap", "ba_iters", "do_ba"),
          donate_argnames=("ms",))
 def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                   slot: jnp.ndarray, frame: FrameData, R: jnp.ndarray,
@@ -436,7 +449,7 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                   kf_ord: jnp.ndarray, frame_id: jnp.ndarray,
                   depth_max: jnp.ndarray,
                   n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
-                  ba_iters: int) -> KeyframeStepOut:
+                  ba_iters: int, do_ba: bool = True) -> KeyframeStepOut:
     """Keyframe insertion + the whole local-mapping iteration in one device
     call (create_keyframe then mapping_step), returning every scalar the
     host schedule needs — including the BA-refined keyframe pose — in a
@@ -446,7 +459,7 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                                    kf_ord, frame_id, depth_max)
     out = mapping_step(ms, calib, orb_cfg, slot, kf_ord,
                        n_tri=n_tri, window_kf=window_kf, n_fixed=n_fixed,
-                       pt_cap=pt_cap, ba_iters=ba_iters)
+                       pt_cap=pt_cap, ba_iters=ba_iters, do_ba=do_ba)
     ms = out.ms
     # reference-matches count for the keyframe decision: only points with
     # >= 3 observations count (ref KeyFrame::TrackedMapPoints(minObs=3) via

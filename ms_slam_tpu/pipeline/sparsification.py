@@ -29,6 +29,8 @@ class SparsifyOut(NamedTuple):
     ms: M.MapState
     n_kept: jnp.ndarray
     n_killed: jnp.ndarray
+    n_slots_freed: jnp.ndarray   # feature slots compacted away (exact,
+    #   for the measured-memory accounting)
 
 
 @partial(jax.jit, static_argnames=("grid_w", "grid_h", "img_w", "img_h",
@@ -115,12 +117,16 @@ def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
     wslots = jnp.where(win_mask, win_idx, Kc)
     ms = ms._replace(
         kf_sparsified=ms.kf_sparsified.at[wslots].set(True, mode="drop"))
+    old_kp_valid = ms.kp_valid[win_idx] & win_mask[:, None]
     new_kp_valid = ms.kp_valid[win_idx] & (ms.obs_mp[win_idx] >= 0)
+    n_slots_freed = jnp.sum(
+        old_kp_valid & ~(new_kp_valid & win_mask[:, None]))
     ms = ms._replace(
         kp_valid=ms.kp_valid.at[wslots].set(new_kp_valid, mode="drop"))
     return SparsifyOut(ms=ms,
                        n_kept=jnp.sum(pt_valid & res.keep).astype(jnp.int32),
-                       n_killed=jnp.sum(kill).astype(jnp.int32))
+                       n_killed=jnp.sum(kill).astype(jnp.int32),
+                       n_slots_freed=n_slots_freed.astype(jnp.int32))
 
 
 class Sparsifier:
@@ -214,6 +220,8 @@ class Sparsifier:
         self.stats["windows"] += 1
         self.stats["killed"] += int(out.n_killed)
         self.stats["kept"] += int(out.n_kept)
+        self.stats["slots_freed"] = (self.stats.get("slots_freed", 0)
+                                     + int(out.n_slots_freed))
         # sparsified keyframes enter the shared place-recognition database
         # (ref LoopClosing::DeleteOutdatedInfo -> KeyFrameDatabase::add,
         # src/LoopClosing.cc:318-326); reloc uses it even without a loop

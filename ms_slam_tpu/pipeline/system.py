@@ -16,6 +16,7 @@ Public surface mirrors System (include/System.h:110-121):
 """
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -401,7 +402,8 @@ class System:
                 fr.feats.valid, jnp.asarray(obs),
                 jnp.asarray(self.frame_id - (1 if slot == kf0 else 0)),
                 kf_ord=jnp.asarray(
-                    self.kf_ord + (0 if slot == kf0 else 1)))
+                    self.kf_ord + (0 if slot == kf0 else 1)),
+                angle=fr.feats.angle)
         # map points: descriptors from frame0's features, normals toward cam0
         sel = np.where(inl)[0]
         pos = X[sel]
@@ -419,9 +421,18 @@ class System:
             # creation ordinal = the SECOND init keyframe's, so the age-based
             # young-point cull (2<=age<=3 & n_obs<=2) does not fire during
             # the init map's own local-mapping pass
-            jnp.full(n_new, self.kf_ord + 1, jnp.int32))
+            jnp.full(n_new, self.kf_ord + 1, jnp.int32),
+            angle=f0.feats.angle[jnp.asarray(sel)])
         self.kf_ord += 2
         self.kf_order += [kf0, kf1]
+        if self.cfg.use_imu:
+            # keep the per-KF IMU bookkeeping aligned (mono-inertial: the
+            # kf0->kf1 interval rows are not tracked through two-view init;
+            # an empty segment is masked out of the inertial chain)
+            self._kf_times += [timestamp - 1.0 / max(self.calib.fps, 1.0),
+                               timestamp]
+            self._kf_imu_segments += [np.zeros((0, 7), np.float32),
+                                      np.zeros((0, 7), np.float32)]
         self.n_mp += n_new
         self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
@@ -473,12 +484,14 @@ class System:
             jnp.sum(ms.kp_valid & kf_valid[:, None])))
         mp_live = self.map_points_in_map()
         killed = self._sparsifier.stats["killed"] if self._sparsifier else 0
+        slots_freed = (self._sparsifier.stats.get("slots_freed", 0)
+                       if self._sparsifier else 0)
         feat_b, mp_b = 56, 80
-        # what the selector removed: the points themselves + their
-        # observations' compacted feature slots (>=1 obs each; use the
-        # window-average 2 obs as the conservative feature multiplier)
+        # what the selector removed — MEASURED: the deleted points plus the
+        # exact number of feature slots the window compaction freed
+        # (counted by sparsify_window, not modeled)
         live = kp_live * feat_b + mp_live * mp_b
-        without = live + killed * (mp_b + 2 * feat_b)
+        without = live + killed * mp_b + slots_freed * feat_b
         return {
             "live_bytes": live,
             "without_sparsification_bytes": without,
@@ -652,6 +665,9 @@ class System:
         if self.cfg.use_imu:
             self._imu_accum = []
             self._kf_times.append(timestamp)
+            # invariant: _kf_imu_segments[j] = IMU rows between kf_order
+            # [j-1] and [j]; the first keyframe has no predecessor
+            self._kf_imu_segments.append(np.zeros((0, 7), np.float32))
         self._record(timestamp, lost=False)
 
     # ------------------------------------------------------------------
@@ -812,6 +828,7 @@ class System:
             self._create_keyframe(fl.frame, fl.out, R_np, t_np, fl=fl)
         self._maybe_draw_frame(fl)
         self._record(fl.timestamp, lost=False, frame_id=fl.frame_id)
+        self._prev_completed_ts = fl.timestamp
 
     def _maybe_draw_frame(self, fl: "InFlight"):
         """FrameDrawer analog (ref src/FrameDrawer.cc::Update+DrawFrame):
@@ -835,11 +852,11 @@ class System:
             os.path.join(self.cfg.frame_draw_dir,
                          f"frame_{fl.frame_id:06d}.png"),
             state=str(self.state))
-        self._prev_completed_ts = fl.timestamp
 
     def _on_track_failure(self, fl: InFlight):
         """Tracking failed for frame fl: relocalize now, or enter the
         RECENTLY_LOST grace window (ref src/Tracking.cc:1947-2018)."""
+        self._draw_images.pop(fl.frame_id, None)
         self.vel = None
         self._has_vel = False
         rl = self._relocalize(fl.frame)
@@ -880,6 +897,7 @@ class System:
         (ref Tracking.cc:1991-2018: predict state, retry relocalization,
         give up into a fresh Atlas map when irrecoverable)."""
         fid = self.frame_id if frame_id is None else frame_id
+        self._draw_images.pop(fid, None)
         rl = self._relocalize(frame)
         if rl is not None:
             self.state = OK
@@ -1032,6 +1050,13 @@ class System:
         frame_id = fl.frame_id if fl is not None else self.frame_id
         kf_ts = fl.timestamp if fl is not None else (self._last_ts or 0.0)
         t0 = time.perf_counter()
+        # NOTE design deviation from the reference: LocalMapping.cc:150-155
+        # runs EITHER LocalInertialBA OR LocalBundleAdjustment; here the
+        # visual Schur window BA always runs (it is the stronger landmark
+        # optimizer — joint Schur vs the VI pass's block-coordinate
+        # descent) and the VI window BA refines poses/velocities/biases +
+        # landmarks on top of it. Measured on the synthetic arc + orbit
+        # worlds this composition dominates either solver alone.
         ko = mo.keyframe_step(
             self.ms, self.calib, self.orb, jnp.asarray(slot), frame,
             out.R, out.t, out.matched_mp, jnp.asarray(self.kf_ord),
@@ -1072,10 +1097,11 @@ class System:
             self._kf_times.append(kf_ts)
             self.kf_velocities[slot] = self.vel_w
             self._try_imu_init()
-            # inertial factors enter the window BA only after the first
-            # VIBA refinement has sharpened gravity/bias (ref: LocalMapping
-            # trusts LocalInertialBA after the staged inits)
-            if self.imu_initialized and getattr(self, "_imu_stage", 0) >= 2:
+            # VI local BA on EVERY keyframe once the IMU is initialized
+            # (ref LocalMapping.cc:150-155) — continuous gravity
+            # observation is what keeps pitch/roll drift bounded enough for
+            # the yaw-only loop gate (LoopClosing.cc:243-256)
+            if self.imu_initialized:
                 self._inertial_window_ba(slot)
 
     def _integrate_kf_info(self, slot: int, info: np.ndarray):
@@ -1136,15 +1162,18 @@ class System:
                     self._refresh_ref_pose()
                 self.kf_order.pop(i)
                 if self.cfg.use_imu:
-                    # segments[j] = IMU rows between kf_order[j] and [j+1]
-                    if i == 0:
-                        if self._kf_imu_segments:
-                            self._kf_imu_segments.pop(0)
-                    elif i - 1 < len(self._kf_imu_segments):
-                        seg_in = self._kf_imu_segments.pop(i - 1)
-                        if i - 1 < len(self._kf_imu_segments):
-                            self._kf_imu_segments[i - 1] = np.concatenate(
-                                [seg_in, self._kf_imu_segments[i - 1]])
+                    # segments[j] = IMU rows between kf_order[j-1] and [j];
+                    # removing keyframe i merges intervals (i-1,i)+(i,i+1)
+                    if i < len(self._kf_imu_segments):
+                        seg_in = self._kf_imu_segments.pop(i)
+                        if i == 0:
+                            # the new first keyframe has no predecessor
+                            if self._kf_imu_segments:
+                                self._kf_imu_segments[0] = np.zeros(
+                                    (0, 7), np.float32)
+                        elif i < len(self._kf_imu_segments):
+                            self._kf_imu_segments[i] = np.concatenate(
+                                [seg_in, self._kf_imu_segments[i]])
                     if i < len(self._kf_times):
                         self._kf_times.pop(i)
             if self._sparsifier is not None:
@@ -1291,21 +1320,45 @@ class System:
         from ..ops import imu as imu_ops
         from ..ops import inertial_opt
         cfg = self.cfg
-        if not cfg.use_imu or len(self._kf_imu_segments) < cfg.imu_init_kfs:
+        n_int = len(self.kf_order) - 1      # real preintegration intervals
+        if not cfg.use_imu or n_int < cfg.imu_init_kfs + 1:
             return
         elapsed = self._kf_times[-1] - self._kf_times[0]
         if elapsed < cfg.imu_init_time:
             return
         # staged refinement: initial MAP, then VIBA1/VIBA2-style re-estimates
-        # with more baseline (ref LocalMapping.cc:201-228 at 5s and 15s)
+        # at 5s / 15s (ref LocalMapping.cc:201-228) PLUS a cheap
+        # gravity/bias re-estimate every ~1s of new baseline until 15s (ref
+        # ScaleRefinement cadence, LocalMapping.cc:231-241): the continuous
+        # VI window BA holds gravity FIXED, so an early rough gravity must
+        # be refreshed as baseline accumulates or it tilts every window
         stage = getattr(self, "_imu_stage", 0)
         thresholds = [cfg.imu_init_time, 5.0, 15.0]
-        if stage >= len(thresholds) or elapsed < thresholds[stage]:
+        due_stage = stage < len(thresholds) and elapsed >= thresholds[stage]
+        last_g = getattr(self, "_last_gravity_refit", -1e9)
+        due_refresh = (stage >= 1 and elapsed < 15.0
+                       and elapsed - last_g >= 1.0)
+        if not (due_stage or due_refresh):
             return
-        self._imu_stage = stage + 1
-        segs = self._kf_imu_segments[-20:]
+        if due_stage:
+            self._imu_stage = stage + 1
+        self._last_gravity_refit = elapsed
+        # trailing run of non-empty segments (segment j = interval
+        # (j-1, j); segment 0, mono-init segments, and IMU-blackout
+        # intervals are empty and cannot enter the unmasked init chain)
+        n = len(self.kf_order)
+        a = max(1, n - 20)
+        for j in range(n - 1, a - 1, -1):
+            if len(self._kf_imu_segments[j]) == 0:
+                a = j + 1
+                break
+        if a >= n:
+            return
+        segs = self._kf_imu_segments[a:]
         K = len(segs) + 1
-        ord_slots = np.asarray(self.kf_order[-K:], np.int32)
+        if K < 3:
+            return
+        ord_slots = np.asarray(self.kf_order[a - 1:], np.int32)
         cap = max(int(max(len(seg) for seg in segs)), 8)
         meas = np.zeros((K - 1, cap, 7), np.float32)
         valid = np.zeros((K - 1, cap), bool)
@@ -1345,25 +1398,56 @@ class System:
         src/Optimizer.cc:366, run after loop correction in IMU mode via
         RunGlobalBundleAdjustment, src/LoopClosing.cc:2228-2230): the
         visual global BA has already refined poses+landmarks; this adds the
-        whole-chain inertial constraints, jointly refining every temporal
-        keyframe's pose/velocity + the shared biases."""
-        if len(self.kf_order) < 3:
+        whole-chain inertial constraints. The reference optimizes EVERY
+        temporal keyframe in one g2o graph; here an oldest-to-newest sweep
+        of overlapping VI windows covers the full chain of the active map
+        with a bounded per-solve state dimension (9W+6)."""
+        n = len(self.kf_order)
+        if n < 3:
             return
-        self._inertial_window_ba(self.kf_order[-1],
-                                 W=min(20, len(self.kf_order)))
+        # active-map suffix: the temporal/preintegration chain breaks at a
+        # map switch, so older-map keyframes are excluded
+        start0 = 0
+        for i in range(n - 1, -1, -1):
+            if self.kf_maps[self.kf_order[i]] != self.active_map:
+                start0 = i + 1
+                break
+        chain = n - start0
+        if chain < 3:
+            return
+        Wc, step = 12, 8
+        if chain <= Wc:
+            starts = [start0]
+        else:
+            starts = list(range(start0, n - Wc + 1, step))
+            if starts[-1] + Wc < n:
+                starts.append(n - Wc)
+        for s in starts:
+            self._inertial_window_ba(self.kf_order[min(s + Wc, n) - 1],
+                                     W=min(Wc, n - s), start=s)
 
-    def _inertial_window_ba(self, new_slot: int, W: int | None = None):
-        """Local inertial BA over the temporal window (ref
+    def _inertial_window_ba(self, new_slot: int, W: int | None = None,
+                            start: int | None = None):
+        """Visual-inertial local BA over the temporal window (ref
         Optimizer::LocalInertialBA via LocalMapping, src/Optimizer.cc:2431):
-        refine the last W keyframes' poses/velocities + shared biases
-        against fixed landmarks and the preintegration chain."""
+        jointly refine W keyframes' poses/velocities + shared biases AND
+        their observed landmarks against the preintegration chain, with
+        up-to-n_fixed older keyframes as fixed anchors
+        (ref lFixedKeyFrames, src/Optimizer.cc:2550).
+
+        start: index into kf_order of the window's first keyframe
+        (default: the trailing window ending at the newest keyframe)."""
         import jax
         from ..ops import imu as imu_ops
         from ..ops import inertial_opt
         W = min(6 if W is None else W, len(self.kf_order))
-        slots = self.kf_order[-W:]          # temporal window, newest last
-        segs = self._kf_imu_segments[-(W - 1):]
+        if start is None:
+            start = len(self.kf_order) - W
+        slots = self.kf_order[start:start + W]  # temporal, newest last
+        segs = self._kf_imu_segments[start + 1:start + W]
         cap = max(max((len(x) for x in segs), default=1), 1)
+        # bucket the IMU-row capacity to limit recompilation
+        cap = 1 << (cap - 1).bit_length()
         meas = np.zeros((W - 1, cap, 7), np.float32)
         valid = np.zeros((W - 1, cap), bool)
         pv = np.zeros(W - 1, bool)
@@ -1391,7 +1475,7 @@ class System:
         R_wb = R_wc @ Rcb
         p_wb = jnp.einsum("kij,j->ki", R_wc, pcb) + p_wc
         kf_mask = self.ms.kf_valid[sl]
-        # factor table: window observations against fixed landmarks
+        # factor table: window observations, landmarks free
         obs = self.ms.obs_mp[sl]                      # (W,N)
         f_valid = (obs >= 0) & self.ms.kp_valid[sl] & kf_mask[:, None]
         Wn = obs.shape[1]
@@ -1399,20 +1483,43 @@ class System:
             jnp.arange(W, dtype=jnp.int32)[:, None], (W, Wn)).reshape(-1)
         s2 = jnp.asarray(
             [sc * sc for sc in self.orb.level_scales()], jnp.float32)
-        res = inertial_opt.inertial_window_refine(
+        # fixed anchors: EVERY other valid keyframe observing window points
+        # (ref LocalInertialBA's lFixedKeyFrames = all observers of local
+        # points outside the window, src/Optimizer.cc:2550) — without the
+        # full anchor set the landmark pass deforms long-lived points
+        Kc = self.ms.kf_valid.shape[0]
+        wmask = np.zeros(Kc, bool)
+        wmask[np.asarray(slots)] = True
+        a_obs = self.ms.obs_mp
+        a_valid = (a_obs >= 0) & self.ms.kp_valid \
+            & self.ms.kf_valid[:, None] & jnp.asarray(~wmask)[:, None]
+        a_cam = jnp.broadcast_to(
+            jnp.arange(Kc, dtype=jnp.int32)[:, None], (Kc, Wn)).reshape(-1)
+        res = inertial_opt.vi_window_ba(
             self.calib.model, self.calib.params_array(),
             jnp.asarray(self.calib.bf),
             R_wb, p_wb, jnp.asarray(self.kf_velocities[slots]), kf_mask,
             sts, jnp.asarray(pv),
             jnp.asarray(self.imu_bias[:3]), jnp.asarray(self.imu_bias[3:]),
             jnp.asarray(self.gravity),
-            self.ms.mp_pos[jnp.clip(obs, 0).reshape(-1)], f_kf,
+            self.ms.mp_pos,
+            jnp.clip(obs, 0).reshape(-1), f_kf,
             self.ms.kp_xy[sl].reshape(-1, 2),
             self.ms.kp_uright[sl].reshape(-1),
             s2[self.ms.kp_octave[sl]].reshape(-1), f_valid.reshape(-1),
-            walk_info=jnp.full(6, 1e5),
+            self.ms.kf_R, self.ms.kf_t,
+            a_cam, jnp.clip(a_obs, 0).reshape(-1),
+            self.ms.kp_xy.reshape(-1, 2),
+            self.ms.kp_uright.reshape(-1),
+            s2[self.ms.kp_octave].reshape(-1), a_valid.reshape(-1),
+            # bias random-walk: tight per-call (sigma ~1e-4) — the biases
+            # are shared per window and should track slow real walks, not
+            # absorb visual-map drift (measured: loose walk info lets the
+            # optimizer park 0.06 rad/s of phantom gyro bias)
+            walk_info=jnp.full(6, 1e8),
             R_bc=jnp.asarray(self.Tbc[:3, :3], R_cw.dtype),
             t_bc=jnp.asarray(self.Tbc[:3, 3], R_cw.dtype))
+        self.ms = self.ms._replace(mp_pos=res.mp_pos)
         # write back: T_cw = (T_wb * T_bc)^-1
         Rbc = jnp.asarray(self.Tbc[:3, :3], R_cw.dtype)
         pbc = jnp.asarray(self.Tbc[:3, 3], R_cw.dtype)
@@ -1428,7 +1535,9 @@ class System:
         self.kf_velocities[slots] = np.asarray(res.vels)
         self.imu_bias = np.concatenate(
             [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
-        self.vel_w = self.kf_velocities[new_slot]
+        self.gravity = np.asarray(res.g).astype(np.float32)
+        if slots and slots[-1] == self.kf_order[-1]:
+            self.vel_w = self.kf_velocities[slots[-1]]
         self._v_dev = None
         self._bias_dev = None
 

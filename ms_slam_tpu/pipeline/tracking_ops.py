@@ -48,7 +48,8 @@ def track_points(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         ms.mp_desc[pt_idx], pt_valid & ms.mp_valid[pt_idx],
         f.xy, f.octave, f.desc, f.valid,
         th_radius=th_radius, nn_ratio=nn_ratio,
-        scale_factor=orb_cfg.scale_factor, n_levels=orb_cfg.n_levels)
+        scale_factor=orb_cfg.scale_factor, n_levels=orb_cfg.n_levels,
+        pt_angle=ms.mp_angle[pt_idx], f_angle=f.angle)
 
     mp_of_feat = jnp.where(pm.mp_slot >= 0,
                            pt_idx[jnp.clip(pm.mp_slot, 0)], -1).astype(jnp.int32)
@@ -76,7 +77,8 @@ def track_by_pnp(ms: M.MapState, calib: Calib, frame: FrameData,
     f = frame.feats
     kf_has = ms.kp_valid[kf] & (ms.obs_mp[kf] >= 0)
     mm = matching.mutual_match(f.desc, f.valid, ms.kp_desc[kf], kf_has,
-                               max_dist=matching.TH_LOW, nn_ratio=0.75)
+                               max_dist=matching.TH_LOW, nn_ratio=0.75,
+                               angle_a=f.angle, angle_b=ms.kp_angle[kf])
     has = mm.idx_b >= 0
     mp = jnp.where(has, ms.obs_mp[kf][jnp.clip(mm.idx_b, 0)], -1)
     has &= mp >= 0
@@ -107,7 +109,8 @@ def track_by_appearance(ms: M.MapState, calib: Calib, frame: FrameData,
     f = frame.feats
     kf_has = ms.kp_valid[kf] & (ms.obs_mp[kf] >= 0)
     mm = matching.mutual_match(f.desc, f.valid, ms.kp_desc[kf], kf_has,
-                               max_dist=matching.TH_LOW, nn_ratio=0.7)
+                               max_dist=matching.TH_LOW, nn_ratio=0.7,
+                               angle_a=f.angle, angle_b=ms.kp_angle[kf])
     has = mm.idx_b >= 0
     mp = jnp.where(has, ms.obs_mp[kf][jnp.clip(mm.idx_b, 0)], -1)
     has &= mp >= 0

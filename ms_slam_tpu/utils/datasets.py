@@ -17,6 +17,24 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def with_lookahead(frames: Iterator["StereoFrame"]):
+    """Yield (frame, next_images_or_None) with one-frame lookahead, so
+    drivers can hand System.track_stereo the NEXT pair and get the same
+    frontend/track overlap the reference gets from its threads
+    (ref Examples/Stereo/stereo_kitti.cc:118-147 reads ahead implicitly
+    through the OS page cache; here the next frontend is dispatched before
+    this frame's blocking stats fetch)."""
+    it = iter(frames)
+    try:
+        cur = next(it)
+    except StopIteration:
+        return
+    for nxt in it:
+        yield cur, (nxt.left, nxt.right)
+        cur = nxt
+    yield cur, None
+
+
 @dataclass
 class StereoFrame:
     timestamp: float
@@ -41,12 +59,33 @@ class KittiOdometry:
         return len(self.names)
 
     def __iter__(self) -> Iterator[StereoFrame]:
+        yield from self.frames()
+
+    def frames(self, prefetch: bool = True) -> Iterator[StereoFrame]:
+        """Frame stream; with prefetch=True and the native runtime built,
+        decode runs on csrc worker threads ahead of the tracking loop (the
+        reference's equivalent concurrency is its thread pipeline)."""
+        paths_l = [os.path.join(self.left_dir, n) for n in self.names]
+        paths_r = [os.path.join(self.right_dir, n) for n in self.names]
+        if prefetch:
+            from . import native
+            if native.available():
+                import cv2
+                probe = cv2.imread(paths_l[0], cv2.IMREAD_GRAYSCALE)
+                h, w = probe.shape
+                pipe = native.PrefetchPipeline(paths_l, paths_r,
+                                               width=w, height=h)
+                try:
+                    for (l, r), t in zip(pipe, self.times):
+                        yield StereoFrame(t, l.astype(np.float32),
+                                          r.astype(np.float32))
+                finally:
+                    pipe.close()
+                return
         import cv2
-        for name, t in zip(self.names, self.times):
-            l = cv2.imread(os.path.join(self.left_dir, name),
-                           cv2.IMREAD_GRAYSCALE)
-            r = cv2.imread(os.path.join(self.right_dir, name),
-                           cv2.IMREAD_GRAYSCALE)
+        for lp, rp, t in zip(paths_l, paths_r, self.times):
+            l = cv2.imread(lp, cv2.IMREAD_GRAYSCALE)
+            r = cv2.imread(rp, cv2.IMREAD_GRAYSCALE)
             yield StereoFrame(t, l.astype(np.float32), r.astype(np.float32))
 
 
@@ -114,7 +153,40 @@ class EurocStereo:
     def __len__(self):
         return len(self.ts)
 
+    def _attach_imu(self, t, prev_t):
+        if self.imu is None:
+            return None
+        lo = prev_t if prev_t is not None else -np.inf
+        sel = (self.imu[:, 0] > lo) & (self.imu[:, 0] <= t)
+        return self.imu[sel]
+
     def __iter__(self) -> Iterator[StereoFrame]:
+        yield from self.frames()
+
+    def frames(self, prefetch: bool = True) -> Iterator[StereoFrame]:
+        """Frame stream; with prefetch=True and the native runtime built,
+        decode AND rectification run on csrc worker threads ahead of the
+        tracking loop."""
+        if prefetch and self.maps is not None:
+            from . import native
+            if native.available():
+                (m1l, m2l), (m1r, m2r) = self.maps
+                h, w = m1l.shape[:2]
+                rect = np.stack([m1l, m2l, m1r, m2r]).astype(np.float32)
+                pipe = native.PrefetchPipeline(self.files0, self.files1,
+                                               width=w, height=h,
+                                               rect_maps=rect)
+                prev_t = None
+                try:
+                    for (l, r), t_ns in zip(pipe, self.ts):
+                        t = t_ns * 1e-9
+                        imu_chunk = self._attach_imu(t, prev_t)
+                        prev_t = t
+                        yield StereoFrame(t, l.astype(np.float32),
+                                          r.astype(np.float32), imu_chunk)
+                finally:
+                    pipe.close()
+                return
         import cv2
         prev_t = None
         for i, t_ns in enumerate(self.ts):
@@ -127,11 +199,7 @@ class EurocStereo:
                 l = cv2.remap(l, m1l, m2l, cv2.INTER_LINEAR)
                 r = cv2.remap(r, m1r, m2r, cv2.INTER_LINEAR)
             t = t_ns * 1e-9
-            imu_chunk = None
-            if self.imu is not None:
-                lo = prev_t if prev_t is not None else -np.inf
-                sel = (self.imu[:, 0] > lo) & (self.imu[:, 0] <= t)
-                imu_chunk = self.imu[sel]
+            imu_chunk = self._attach_imu(t, prev_t)
             prev_t = t
             yield StereoFrame(t, l.astype(np.float32), r.astype(np.float32),
                               imu_chunk)

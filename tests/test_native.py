@@ -63,3 +63,45 @@ def test_pipeline_order_and_content(rng):
 
 def test_vmrss():
     assert native.vmrss_mb() > 10
+
+
+def test_dataset_frames_use_prefetch(rng, tmp_path, monkeypatch):
+    """Driver path (VERDICT r2 item 4): KittiOdometry.frames() must route
+    through the native prefetch pipeline when it is available, and yield
+    the same frames as the cv2 fallback."""
+    import cv2
+    seq = tmp_path / "seq"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    n = 6
+    for i in range(n):
+        img = rng.integers(0, 255, size=(48, 64), dtype=np.uint8)
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), img)
+        cv2.imwrite(str(seq / "image_1" / f"{i:06d}.png"), img)
+    (seq / "times.txt").write_text("\n".join(str(0.1 * i) for i in range(n)))
+
+    from ms_slam_tpu.utils import datasets
+
+    used = {"pipes": 0}
+    real_pipe = native.PrefetchPipeline
+
+    class SpyPipe(real_pipe):
+        def __init__(self, *a, **k):
+            used["pipes"] += 1
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(native, "PrefetchPipeline", SpyPipe)
+    ds = datasets.KittiOdometry(str(seq))
+    got = list(ds.frames(prefetch=True))
+    assert used["pipes"] == 1, "native prefetch not used by the driver path"
+    ref = list(ds.frames(prefetch=False))
+    assert len(got) == len(ref) == n
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a.left, b.left)
+        np.testing.assert_array_equal(a.right, b.right)
+        assert a.timestamp == b.timestamp
+
+    # the lookahead wrapper drivers use to feed next_images
+    pairs = list(datasets.with_lookahead(iter(ref)))
+    assert pairs[-1][1] is None
+    np.testing.assert_array_equal(pairs[0][1][0], ref[1].left)

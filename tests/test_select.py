@@ -70,7 +70,7 @@ def exact_ilp(obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf,
 
 
 class TestSelector:
-    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
     def test_near_optimal_vs_ilp(self, seed):
         rng = np.random.default_rng(seed)
         inst = random_instance(rng)
@@ -88,9 +88,10 @@ class TestSelector:
             jnp.asarray(obs_cell), jnp.asarray(obs_valid), lam_grid, n_cells))
         _, opt = exact_ilp(obs_pt, obs_cell, obs_valid, cost, p_valid,
                            req_kf, lam, lam_grid, n_cells)
-        # near-optimality gate (reference tolerance is MIPGap 0.002; our
-        # rounding pays a modest premium, bounded here)
-        assert ours <= 1.3 * max(opt, 1.0) + 1e-6, (ours, opt)
+        # near-optimality gate (reference tolerance is MIPGap 0.002): with
+        # the greedy safe-prune after the union repair, 7/8 seeds solve to
+        # the exact ILP optimum and the worst observed premium is 6%
+        assert ours <= 1.1 * max(opt, 1.0) + 1e-6, (ours, opt)
 
     def test_constraints_satisfied_when_feasible(self, rng):
         obs_pt, obs_cell, obs_valid, cost, p_valid, req_kf = random_instance(
