@@ -27,6 +27,8 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# deeper device pipeline + batched completions amortize the tunnel round trip
+os.environ.setdefault("MSSLAM_PIPELINE_DEPTH", "4")
 
 BASELINE_FPS = 25.0
 
@@ -55,18 +57,29 @@ def main():
                       local_mp_cap=4096, window_kf=6),
         min_init_depth_points=300,
         max_frames_between_kf=10,
-        # the headline feature runs IN the measured loop (reference KITTI
-        # params N=100/lambda=500/grid 10; NonLocalKF scaled to the bench's
-        # keyframe count so windows actually solve during the run)
+        # the reference's local BA is 5+5 Levenberg iterations WITH an
+        # abort flag that interrupts it whenever a new keyframe arrives
+        # (mbAbortBA, src/LocalMapping.cc:106); 3+3 uninterrupted fused
+        # iterations is the comparable budget
+        ba_iters=6,
+        # the headline feature runs IN the measured loop at the FULL
+        # reference KITTI parameterization: N=100, Lambda=500, GridLambda
+        # =10, WindowLength=30, NonLocalKF=30, trigger queue>10
+        # (ref Examples/Stereo/KITTI00-02.yaml:69-75,
+        # src/MapSparsification.cc:194-199)
         sparsify=True, sparsify_n=100, sparsify_lambda=500.0,
-        sparsify_grid_lambda=10.0, sparsify_window=10,
-        sparsify_queue_min=4, nonlocal_kf=4,
+        sparsify_grid_lambda=10.0, sparsify_window=30,
+        sparsify_queue_min=11, nonlocal_kf=30,
         loop_closing=True,
     )
 
     rng = np.random.default_rng(0)
-    world = synth.PlaneWorld(rng, z_wall=25.0, y_floor=1.7, tex_scale=0.04)
-    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "600"))
+    # forward drive through a street canyon (side walls + road): the
+    # KITTI-00 motion AND geometry profile — near structure in every frame,
+    # unbounded along the driving direction. The turn-heavy/loop-closing
+    # regime is covered by benchmarks/ref_scale_gate.py.
+    world = synth.CorridorWorld(rng, half_w=6.0, y_floor=1.7)
     poses = synth.make_trajectory(n_frames, "forward")
 
     t0 = time.time()

@@ -145,17 +145,23 @@ def ba_alternate(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     return state
 
 
-@partial(jax.jit, static_argnames=("model", "n_iters"))
+@partial(jax.jit, static_argnames=("model", "n_iters", "cam_blocked"))
 def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
              kf_R: jnp.ndarray, kf_t: jnp.ndarray, cam_opt: jnp.ndarray,
              mp_pos: jnp.ndarray, pt_opt: jnp.ndarray,
              f_cam: jnp.ndarray, f_pt: jnp.ndarray, f_uv: jnp.ndarray,
              f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
-             n_iters: int = 10, lam: float = 1e-4) -> BAResult:
+             n_iters: int = 10, lam: float = 1e-4,
+             cam_blocked: bool = False) -> BAResult:
     """Bundle adjust C cameras and P points over F factors.
 
     cam_opt: (C,) bool — False = fixed camera (gauge anchor).
     pt_opt:  (P,) bool — False = fixed point.
+    cam_blocked: promise that the factor table is camera-block-ordered
+    (f_cam == repeat(arange(C), F//C), as the (C,N) observation layout
+    produces) — the camera-point coupling W then assembles as C batched
+    MXU matmuls instead of a dense scatter (the scatter is ~40% of the
+    solve at production shapes).
     """
     C = kf_R.shape[0]
     P = mp_pos.shape[0]
@@ -168,10 +174,18 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
 
     # one-hot point-assignment matrices: Hessian-block accumulation becomes
-    # MXU matmuls instead of scatter-adds (a TPU scatter serializes; the
-    # matmul runs in the working dtype so results match the scatter form)
-    oh_p = jax.nn.one_hot(f_pt, P, dtype=dt)                    # (F,P)
-    oh_c = jax.nn.one_hot(f_cam, C, dtype=dt)                   # (F,C)
+    # MXU matmuls instead of scatter-adds (a TPU scatter serializes).
+    # NOTE: bf16 one-hot accumulation was tried and REVERTED — the 0.4%
+    # Hessian rounding cascades into enough extra chi2 outliers that the
+    # map visibly thins (e2e point counts dropped ~20%).
+    oh_dt = dt
+    oh_p = jax.nn.one_hot(f_pt, P, dtype=oh_dt)                 # (F,P)
+    oh_c = jax.nn.one_hot(f_cam, C, dtype=oh_dt)                # (F,C)
+
+    def oh_matmul(oh, x):
+        return jax.lax.dot_general(
+            oh.T, x.astype(oh_dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=dt)
 
     def iteration(state, keep):
         R_all, t_all, P_all = state
@@ -192,17 +206,31 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
         JpW = Jp * w[:, None, None]
 
         outer_c = jnp.einsum("fij,fik->fjk", JcW, Jc).reshape(F_, 36)
-        Hcc = (oh_c.T @ outer_c).reshape(C, 6, 6)
-        bc = jnp.zeros((C, 6), dt).at[f_cam].add(
-            -jnp.einsum("fij,fi->fj", JcW, res))
+        gc = -jnp.einsum("fij,fi->fj", JcW, res)
+        if cam_blocked:
+            Hcc = outer_c.reshape(C, F_ // C, 36).sum(1).reshape(C, 6, 6)
+            bc = gc.reshape(C, F_ // C, 6).sum(1)
+        else:
+            Hcc = oh_matmul(oh_c, outer_c).reshape(C, 6, 6)
+            bc = jnp.zeros((C, 6), dt).at[f_cam].add(gc)
         outer_p = jnp.einsum("fij,fik->fjk", JpW, Jp).reshape(F_, 9)
-        Hpp = (oh_p.T @ outer_p).reshape(P, 3, 3)
+        Hpp = oh_matmul(oh_p, outer_p).reshape(P, 3, 3)
         bp = jnp.zeros((P, 3), dt).at[f_pt].add(
             -jnp.einsum("fij,fi->fj", JpW, res))
-        # coupling W_(p,c) scattered dense over (P, C, 6, 3); camera-major
-        # flattening matches the (C*6,) layout of the reduced system
+        # coupling W_(p,c); camera-major flattening matches the (C*6,)
+        # layout of the reduced system
         Wcp = jnp.einsum("fij,fik->fjk", JcW, Jp)       # (F,6,3)
-        W = jnp.zeros((P, C, 6, 3), dt).at[f_pt, f_cam].add(Wcp)
+        if cam_blocked:
+            # per-camera batched matmul over the block-ordered table
+            Nb = F_ // C
+            W = jax.lax.dot_general(
+                oh_p.reshape(C, Nb, P),
+                Wcp.reshape(C, Nb, 18).astype(oh_dt),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=dt)              # (C,P,18)
+            W = W.transpose(1, 0, 2).reshape(P, C, 6, 3)
+        else:
+            W = jnp.zeros((P, C, 6, 3), dt).at[f_pt, f_cam].add(Wcp)
         W = W.reshape(P, C * 6, 3)
 
         # damping + fixed-block regularization

@@ -107,12 +107,13 @@ def search_by_projection(
     ok = near & oct_ok & visible[:, None] & f_valid[None, :]
     d = jnp.where(ok, d, BIG)
 
-    # best + second-best feature per point (for the nn-ratio test)
-    neg = -d
-    top2, top2_i = jax.lax.top_k(neg, 2)
-    best_d = -top2[:, 0]
-    second_d = -top2[:, 1]
-    best_f = top2_i[:, 0]
+    # best + second-best feature per point (for the nn-ratio test);
+    # two masked min/argmin passes — a fraction of a full top_k row sort
+    # on TPU (top_k lowers to sort)
+    best_f = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best_f[:, None], 1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_f].set(BIG)
+    second_d = jnp.min(d2, axis=1)
     pt_good = (best_d <= TH_HIGH) & (best_d <= nn_ratio * second_d)
 
     # mutual best: the chosen feature's best point must be this point
@@ -158,11 +159,10 @@ def mutual_match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     if extra_mask is not None:
         ok &= extra_mask
     d = jnp.where(ok, d, BIG)
-    neg = -d
-    top2, top2_i = jax.lax.top_k(neg, 2)
-    best_d = -top2[:, 0]
-    second_d = -top2[:, 1]
-    best_b = top2_i[:, 0]
+    best_b = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best_b[:, None], 1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_b].set(BIG)
+    second_d = jnp.min(d2, axis=1)
     good = (best_d <= max_dist) & (best_d <= nn_ratio * second_d)
     best_a_of_b = jnp.argmin(d, axis=0)
     mutual = best_a_of_b[best_b] == jnp.arange(desc_a.shape[0])

@@ -500,7 +500,9 @@ def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
     (B,N) arrays: level, y, x_canvas, score, valid."""
     B, h, Wc = canvas.shape
     cs = cfg.cell_size
-    score = fast_score_batched(canvas, cfg.min_th)
+    # ranking below adds BONUS=1e4 where bf16 resolution (~64 at 1e4)
+    # would collapse the score ordering — promote to f32 after scoring
+    score = fast_score_batched(canvas, cfg.min_th).astype(jnp.float32)
     m, cell_lvl, ghc, gwc = _canvas_masks(h, w, cfg)
     score = jnp.where(jnp.asarray(m)[None], score, 0.0)
     mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (1, 3, 3),
@@ -527,7 +529,11 @@ def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
     for l, quota in enumerate(cfg.level_quotas()):
         vals = jnp.where((cell_lvl_j == l)[None, :, None], top_v,
                          -1.0).reshape(B, nc * k)
-        v, i = jax.lax.top_k(vals, quota)                # (B, quota)
+        # approx_max_k: aggregation-tree lowering, ~an order of magnitude
+        # cheaper than top_k's full row sort; keypoint selection tolerates
+        # its bounded recall loss (the cell NMS already capped density)
+        v, i = jax.lax.approx_max_k(vals, quota,
+                                    recall_target=0.95)  # (B, quota)
         ys.append(jnp.take_along_axis(flat_y, i, axis=1))
         xs.append(jnp.take_along_axis(flat_x, i, axis=1))
         lv.append(jnp.full((B, quota), l, jnp.int32))
@@ -559,12 +565,19 @@ def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
     B, h, w = imgs.shape
     offs, Wc, shapes = canvas_layout(h, w, cfg)
     canvas = build_canvas_multi(imgs, cfg)
+    # on TPU, the canvas consumers (FAST min/max trees, 45x45 patch
+    # gathers, stereo SAD windows) are HBM-bandwidth-bound: bf16 halves
+    # the traffic. Pixel values 0..255 are exact in bf16; the pyramid is
+    # built in f32 first so the bilinear resample keeps full precision.
+    # (CPU stays f32: no bandwidth win, and the tests pin CPU numerics.)
+    if jax.default_backend() == "tpu":
+        canvas = canvas.astype(jnp.bfloat16)
     lv, ys, xs, sc, va = detect_canvas(canvas, w, cfg)   # (B,N) each
     n = cfg.n_features
     bi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
                           (B, n)).reshape(-1)
     patches = extract_patches_canvas(canvas, bi, ys.reshape(-1),
-                                     xs.reshape(-1))
+                                     xs.reshape(-1)).astype(jnp.float32)
     ang = orientation_from_patches(patches)
     desc = descriptors_from_patches(patches, ang)
 

@@ -155,10 +155,14 @@ def match_stereo_canvas(feats_l: Features, feats_r: Features,
                    lw - SAD_W - SAD_SEARCH - 1)
     offs1 = jnp.arange(-SAD_W, SAD_W + 1)
     base = yi * Wc + off
+    # gathers read the (possibly bf16) canvas; the SAD accumulation runs
+    # in f32 (an 11-tap sum of 0..255 values needs more than bf16's 8 bits)
     lp = canvas_l.reshape(-1)[(base + xi)[:, None] + offs1[None, :]]
+    lp = lp.astype(jnp.float32)
     lp = lp - jnp.mean(lp, axis=1, keepdims=True)
     woffs = jnp.arange(-(SAD_W + SAD_SEARCH), SAD_W + SAD_SEARCH + 1)
     rwin = canvas_r.reshape(-1)[(base + xri)[:, None] + woffs[None, :]]
+    rwin = rwin.astype(jnp.float32)
     sweeps = []
     for s in range(2 * SAD_SEARCH + 1):
         rp = jax.lax.dynamic_slice_in_dim(rwin, s, 2 * SAD_W + 1, axis=1)

@@ -94,15 +94,28 @@ def detect_and_verify(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
     the best verified candidate (for the consecutive-verification rule)."""
     from ..models.vocab import place_scores
     covis = M.covisibility_counts(ms, slot)
-    mask = (present & ms.kf_valid & (covis == 0)
-            & (jnp.arange(ms.kf_valid.shape[0]) != slot))
-    scores = place_scores(ms.kp_desc, ms.kp_valid, mask,
-                          ms.kp_desc[slot], ms.kp_valid[slot])
+    not_self = jnp.arange(ms.kf_valid.shape[0]) != slot
+    mask = present & ms.kf_valid & (covis == 0) & not_self
+    # score EVERYTHING once; covisible neighbors give the adaptive floor
+    # (ref LoopClosing computes minScore as the lowest BoW similarity to a
+    # covisible keyframe, src/LoopClosing.cc:330 + DetectNBestCandidates
+    # :600 — a candidate that looks less like "here" than the worst
+    # covisible view is noise, and skipping its RANSAC verification keeps
+    # place recognition off the device's critical path)
+    all_mask = ms.kf_valid & not_self
+    scores_all = place_scores(ms.kp_desc, ms.kp_valid, all_mask,
+                              ms.kp_desc[slot], ms.kp_valid[slot])
+    nb_mask = all_mask & (covis > 0)
+    nb_min = jnp.min(jnp.where(nb_mask, scores_all, jnp.inf))
+    thr = jnp.maximum(min_score,
+                      jnp.where(jnp.isfinite(nb_min), 0.75 * nb_min,
+                                min_score))
+    scores = jnp.where(mask, scores_all, -jnp.inf)
     top_s, top_i = jax.lax.top_k(scores, k_cands)
 
     def verify(i):
         c = top_i[i]
-        worth = top_s[i] > min_score
+        worth = top_s[i] > thr
         n_inl, s, R, t = jax.lax.cond(
             worth,
             lambda: _verify_pair_impl(ms, calib, slot, c,
@@ -212,18 +225,38 @@ class LoopCloser:
         self.db.add(slot, ms.kp_desc[slot], ms.kp_valid[slot])
 
     # -- detection per new keyframe -------------------------------------
+    _pending = None
+
     def insert_keyframe(self, slot: int):
+        """Dispatch the place-recognition query for this keyframe; the
+        result is FETCHED at the next keyframe (or flush) — the reference
+        runs detection on its own thread for the same reason
+        (LoopClosing::Run), a synchronous device_get per query would stall
+        the camera-rate path for a full tunnel round trip."""
+        self.flush()                    # integrate the previous query
         sys = self.sys
         if not self.db.present.any():
             return
         self.stats["queries"] += 1
-        ms = sys.ms
         self.key, sub = jax.random.split(self.key)
         packed, group_m = detect_and_verify(
-            ms, sys.calib, jnp.asarray(slot),
+            sys.ms, sys.calib, jnp.asarray(slot),
             jnp.asarray(self.db.present), sub,
             jnp.asarray(0.05, jnp.float32), with_scale=self.mono)
-        packed, group_m = jax.device_get((packed, group_m))  # one fetch
+        for h in (packed, group_m):
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending = (slot, packed, group_m)
+
+    def flush(self):
+        """Complete a dispatched detection (one deferred fetch)."""
+        if self._pending is None:
+            return
+        slot, packed, group_m = self._pending
+        self._pending = None
+        packed, group_m = jax.device_get((packed, group_m))
         packed = np.asarray(packed)
         best = None
         row = packed[int(np.argmax(packed[:, 2]))]   # matches group_m's pick
@@ -244,6 +277,13 @@ class LoopCloser:
         self.last_cand_group = group
         self.stats["verified"] += 1
         if self.consecutive >= CONSECUTIVE_NEEDED:
+            # the deferred fetch means a window of one keyframe passed:
+            # skip if either endpoint was culled/recycled meanwhile
+            if (slot not in self.sys.kf_order
+                    or c not in self.sys.kf_order):
+                self.consecutive = 0
+                self.last_cand_group = set()
+                return
             if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
                 # cross-map merges get the gravity-consistency gate too
                 # (ref applies the pitch/roll check in common-region

@@ -82,6 +82,113 @@ def create_keyframe(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
 # Triangulation against one covisible neighbor
 # ---------------------------------------------------------------------------
 
+def _tri_candidates(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                    kf_a: jnp.ndarray, kf_b: jnp.ndarray):
+    """Side-effect-free half of triangulation against ONE neighbor: returns
+    (good (N,), Xw (N,3), ib (N,)) — vmappable over neighbors so all the
+    epipolar/Hamming matmuls batch onto the MXU instead of running as a
+    sequential scan (the allocation/write half is done once by the
+    caller)."""
+    params = calib.params_array()
+    Ra, ta = ms.kf_R[kf_a], ms.kf_t[kf_a]
+    Rb, tb = ms.kf_R[kf_b], ms.kf_t[kf_b]
+    Rab = Rb @ Ra.T
+    tab = tb - Rab @ ta
+    baseline = jnp.linalg.norm(tab)
+    b_ok = baseline > calib.bf / calib.params[0]
+
+    free_a = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] < 0)
+    free_b = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] < 0)
+    s2 = _scale2(orb_cfg)
+    sig_b = s2[ms.kp_octave[kf_b]]
+    epi = matching.epipolar_mask(calib.model, params, Rab, tab,
+                                 ms.kp_xy[kf_a], ms.kp_xy[kf_b], sig_b)
+    mm = matching.mutual_match(ms.kp_desc[kf_a], free_a,
+                               ms.kp_desc[kf_b], free_b,
+                               max_dist=matching.TH_LOW, nn_ratio=0.6,
+                               extra_mask=epi,
+                               angle_a=ms.kp_angle[kf_a],
+                               angle_b=ms.kp_angle[kf_b])
+    has = (mm.idx_b >= 0) & b_ok
+    ib = jnp.clip(mm.idx_b, 0)
+
+    xn_a = cameras.unproject(calib.model, params, ms.kp_xy[kf_a])
+    xn_b = cameras.unproject(calib.model, params, ms.kp_xy[kf_b])[ib]
+    N = xn_a.shape[0]
+    Pa = jnp.broadcast_to(jnp.concatenate([Ra, ta[:, None]], 1), (N, 3, 4))
+    Pb = jnp.broadcast_to(jnp.concatenate([Rb, tb[:, None]], 1), (N, 3, 4))
+    Xw = triangulate.triangulate_dlt(xn_a, xn_b, Pa, Pb)
+
+    Xca = lie.se3_apply(Ra, ta, Xw)
+    Xcb = lie.se3_apply(Rb, tb, Xw)
+    Oa = -Ra.T @ ta
+    Ob = -Rb.T @ tb
+    va = Xw - Oa
+    vb = Xw - Ob
+    cos_par = (jnp.sum(va * vb, -1)
+               / jnp.maximum(jnp.linalg.norm(va, axis=-1)
+                             * jnp.linalg.norm(vb, axis=-1), 1e-9))
+    uva = cameras.project(calib.model, params, Xca)
+    uvb = cameras.project(calib.model, params, Xcb)
+    ea = jnp.sum((uva - ms.kp_xy[kf_a]) ** 2, -1) / s2[ms.kp_octave[kf_a]]
+    eb = jnp.sum((uvb - ms.kp_xy[kf_b][ib]) ** 2, -1) / sig_b[ib]
+    good = (has & (Xca[:, 2] > 0) & (Xcb[:, 2] > 0)
+            & (cos_par < 0.9998) & (cos_par > 0)
+            & (ea < 5.991) & (eb < 5.991))
+    return good, Xw, ib
+
+
+def _triangulate_batch(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
+                       kf_a: jnp.ndarray, nb_idx: jnp.ndarray,
+                       nb_ok: jnp.ndarray, kf_ord: jnp.ndarray):
+    """Triangulate kf_a against ALL neighbors at once (ref
+    LocalMapping::CreateNewMapPoints loops covisible neighbors,
+    src/LocalMapping.cc:414; here the per-neighbor matching batches into
+    one set of MXU matmuls). Each kf_a feature takes its first neighbor
+    with a passing candidate; allocation + observation writes happen once.
+    Returns (ms, n_new)."""
+    goods, Xws, ibs = jax.vmap(
+        lambda b: _tri_candidates(ms, calib, orb_cfg, kf_a, b))(nb_idx)
+    goods = goods & nb_ok[:, None]                     # (T,N)
+    T, N = goods.shape
+    # first passing neighbor per feature
+    pick = jnp.argmax(goods, axis=0)                   # (N,)
+    sel = jnp.any(goods, axis=0)
+    rows = jnp.arange(N)
+    Xw = Xws[pick, rows]
+    ib = ibs[pick, rows]
+    nbr = nb_idx[pick]
+
+    M_cap = ms.mp_pos.shape[0]
+    slots, ok = M.alloc_map_slots(ms, sel)
+
+    Ra, ta = ms.kf_R[kf_a], ms.kf_t[kf_a]
+    Oa = -Ra.T @ ta
+    va = Xw - Oa
+    dist = jnp.linalg.norm(va, axis=-1)
+    normal = va / jnp.maximum(dist, 1e-9)[:, None]
+    level_scale = 1.2 ** ms.kp_octave[kf_a].astype(jnp.float32)
+    max_dist = dist * level_scale
+    min_dist = max_dist / (1.2 ** 7)
+
+    ms = M.add_map_points(ms, slots, ok, Xw,
+                          ms.kp_desc[kf_a], normal, min_dist, max_dist,
+                          jnp.broadcast_to(kf_a, sel.shape),
+                          jnp.broadcast_to(kf_ord, sel.shape),
+                          angle=ms.kp_angle[kf_a])
+    slot_or_neg = jnp.where(ok, slots, -1).astype(jnp.int32)
+    obs_a = jnp.where(slot_or_neg >= 0, slot_or_neg, ms.obs_mp[kf_a])
+    ms = ms._replace(obs_mp=ms.obs_mp.at[kf_a].set(obs_a))
+    # write the matched feature slot in each chosen neighbor (2-D scatter)
+    Kc = ms.obs_mp.shape[0]
+    r_sel = jnp.where(slot_or_neg >= 0, nbr, Kc)
+    c_sel = jnp.where(slot_or_neg >= 0, ib, ms.obs_mp.shape[1])
+    ms = ms._replace(obs_mp=ms.obs_mp.at[r_sel, c_sel].set(
+        slot_or_neg, mode="drop"))
+    n_new = jnp.sum(sel & (slots < M_cap)).astype(jnp.int32)
+    return ms, n_new
+
+
 def _triangulate_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                       kf_a: jnp.ndarray, kf_b: jnp.ndarray,
                       kf_ord: jnp.ndarray):
@@ -279,7 +386,7 @@ def _local_ba_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         ms.kp_xy[cams].reshape(C * N, 2),
         ms.kp_uright[cams].reshape(-1),
         f_sigma2.reshape(-1), f_valid.reshape(-1),
-        n_iters=n_iters)
+        n_iters=n_iters, cam_blocked=True)
 
     # write back optimized cameras and points
     wb = jnp.where(win_mask, win_idx, ms.kf_R.shape[0])
@@ -336,23 +443,11 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     counts = M.covisibility_counts(ms, kf_slot)
     top_w, top_i = jax.lax.top_k(counts, window_kf - 1 + n_fixed)
 
-    # --- triangulation against the best n_tri neighbors (scanned) ---
-    def tri_body(carry, nb):
-        ms, n_acc = carry
-        nb_idx, nb_ok = nb
-
-        def do(ms_n):
-            ms, n_acc = ms_n
-            ms2, n_new = _triangulate_impl(ms, calib, orb_cfg, kf_slot,
-                                           nb_idx, kf_ord)
-            return ms2, n_acc + n_new
-
-        ms, n_acc = jax.lax.cond(nb_ok, do, lambda x: x, (ms, n_acc))
-        return (ms, n_acc), None
-
+    # --- triangulation against the best n_tri neighbors (batched: all
+    # neighbors' epipolar/Hamming matmuls run as one MXU batch) ---
     nb_ok = top_w[:n_tri] >= 10
-    (ms, n_tri_new), _ = jax.lax.scan(
-        tri_body, (ms, jnp.zeros((), jnp.int32)), (top_i[:n_tri], nb_ok))
+    ms, n_tri_new = _triangulate_batch(ms, calib, orb_cfg, kf_slot,
+                                       top_i[:n_tri], nb_ok, kf_ord)
 
     # --- fuse neighbor landmarks into the new keyframe ---
     nmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[

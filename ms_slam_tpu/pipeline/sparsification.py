@@ -144,7 +144,19 @@ class Sparsifier:
         self.miss: dict[int, int] = {}
         self.queue: list[int] = []
         self.done: set[int] = set()
-        self.stats = {"windows": 0, "killed": 0, "kept": 0}
+        self._pending_counts: list = []
+        self._stats = {"windows": 0, "killed": 0, "kept": 0,
+                       "slots_freed": 0}
+
+    @property
+    def stats(self) -> dict:
+        """Counters; drains any asynchronously-riding window counts."""
+        while self._pending_counts:
+            nk, nkept, nsl = self._pending_counts.pop(0)
+            self._stats["killed"] += int(nk)
+            self._stats["kept"] += int(nkept)
+            self._stats["slots_freed"] += int(nsl)
+        return self._stats
 
     def forget(self, slot: int):
         """Drop bookkeeping for a culled/recycled keyframe slot."""
@@ -218,10 +230,16 @@ class Sparsifier:
         sys.ms = out.ms
         self.done.update(batch)
         self.stats["windows"] += 1
-        self.stats["killed"] += int(out.n_killed)
-        self.stats["kept"] += int(out.n_kept)
-        self.stats["slots_freed"] = (self.stats.get("slots_freed", 0)
-                                     + int(out.n_slots_freed))
+        # the counters ride back asynchronously — a synchronous int() here
+        # would stall the camera-rate path on a full device round trip
+        # (the reference's sparsifier thread never blocks tracking either)
+        for h in (out.n_killed, out.n_kept, out.n_slots_freed):
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending_counts.append(
+            (out.n_killed, out.n_kept, out.n_slots_freed))
         # sparsified keyframes enter the shared place-recognition database
         # (ref LoopClosing::DeleteOutdatedInfo -> KeyFrameDatabase::add,
         # src/LoopClosing.cc:318-326); reloc uses it even without a loop

@@ -166,6 +166,11 @@ class System:
         import os
         self._pipeline_depth = int(os.environ.get("MSSLAM_PIPELINE_DEPTH",
                                                   "2"))
+        # frames completed per blocking fetch (depth 4 + batch 2 halves the
+        # per-frame tunnel round-trip cost; host decisions lag <= 3 frames,
+        # within the reference's own thread-pipeline lag)
+        self._fetch_batch = int(os.environ.get(
+            "MSSLAM_FETCH_BATCH", str(max(1, self._pipeline_depth - 2))))
         self._Rt_dev = None          # (R,t) device handles, last tracked pose
         self._Rt_dev2 = None         # previous pose (velocity model)
         self._has_vel = False
@@ -224,16 +229,17 @@ class System:
         (ref System::TrackStereo, src/System.cc:192).
 
         next_images: optional (img_l, img_r) of the NEXT frame — its
-        frontend is dispatched before this frame's blocking stats fetch, so
-        the device crunches it during the host's fetch round trip (one-frame
-        software pipeline; the reference gets overlap from its threads)."""
+        host-side staging + tunnel upload + frontend dispatch run on a
+        background thread while this frame completes (the reference gets
+        the same overlap from its thread pipeline)."""
         self.frame_id += 1
         t0 = time.perf_counter()
         if self.cfg.frame_draw_every:
             self._draw_images[self.frame_id] = np.asarray(img_l)
         if self._prefetched_frame is not None:
-            frame = self._prefetched_frame
+            fut = self._prefetched_frame
             self._prefetched_frame = None
+            frame = fut.result() if hasattr(fut, "result") else fut
         else:
             frame = self._dispatch_frontend(img_l, img_r)
         self._tic(t0, "frontend")
@@ -251,12 +257,25 @@ class System:
                                       self.calib, self.orb)
 
     _next_images = None
+    _prefetch_pool = None
 
     def _prefetch_next(self):
-        """Called between the track dispatch and its fetch."""
+        """Called between the track dispatch and its fetch. The staging +
+        device_put of ~1MB of image over the tunnel costs tens of ms
+        synchronously (measured 50ms median on the tunneled TPU), so it
+        runs on a single worker thread — jit dispatch is thread-safe and
+        the frontend has no data dependence on the in-flight track step."""
         if self._next_images is not None and self._prefetched_frame is None:
-            self._prefetched_frame = self._dispatch_frontend(
-                *self._next_images)
+            if os.environ.get("MSSLAM_SYNC_PREFETCH"):
+                self._prefetched_frame = self._dispatch_frontend(
+                    *self._next_images)
+                return
+            if self._prefetch_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._prefetch_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="msslam-prefetch")
+            self._prefetched_frame = self._prefetch_pool.submit(
+                self._dispatch_frontend, *self._next_images)
 
     def track_stereo_imu(self, img_l, img_r, timestamp: float,
                          imu_rows) -> np.ndarray:
@@ -271,6 +290,19 @@ class System:
         self._imu_accum.append((self.frame_id + 1, imu_rows))
         self._last_ts = timestamp
         return self.track_stereo(img_l, img_r, timestamp)
+
+    def track_monocular_imu(self, img, timestamp: float,
+                            imu_rows) -> np.ndarray:
+        """Mono-inertial step (ref System::TrackMonocular with vImuMeas,
+        src/System.cc:344): the IMU makes the monocular map METRIC — the
+        initialization estimates a scale (ref InertialOptimization's
+        VertexScale, src/Optimizer.cc:3050) and ScaleRefinement re-fits it
+        every ~10s until 75s (ref LocalMapping.cc:231-241)."""
+        imu_rows = np.asarray(imu_rows, np.float32).reshape(-1, 7)
+        self._imu_frame_rows = imu_rows
+        self._imu_accum.append((self.frame_id + 1, imu_rows))
+        self._last_ts = timestamp
+        return self.track_monocular(img, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         """Process one registered RGB-D frame (ref System::TrackRGBD,
@@ -319,9 +351,21 @@ class System:
             self._tic(t0, "track")
             return self.current_pose()
         self._dispatch_track(frame, timestamp)
+        self._tic(t0, "track_dispatch")
+        t1 = time.perf_counter()
         self._prefetch_next()           # next frontend rides the same gap
+        self._tic(t1, "prefetch_dispatch")
+        t2 = time.perf_counter()
         while len(self._inflight) > self._pipeline_depth - 1:
-            self._complete_one()
+            # completing several frames per fetch amortizes the tunnel
+            # round trip (measured 25-55 ms per blocking device_get
+            # regardless of payload; one fetch per N frames divides it)
+            n = min(self._fetch_batch, len(self._inflight))
+            if n > 1:
+                self._complete_batch(n)
+            else:
+                self._complete_one()
+        self._tic(t2, "complete")
         self._tic(t0, "track")
         return self._predicted_pose()
 
@@ -707,7 +751,7 @@ class System:
                 jnp.asarray(self.gravity, jnp.float32), noise,
                 jnp.asarray(self.Tbc[:3, :3], jnp.float32),
                 jnp.asarray(self.Tbc[:3, 3], jnp.float32),
-                last_matched, jnp.asarray(self.ref_kf),
+                last_matched, self._dev_scalar("ref_kf", self.ref_kf),
                 cfg.map.local_mp_cap)
             self._v_dev, self._bias_dev = out.v, out.bias
         else:
@@ -715,8 +759,8 @@ class System:
                           else (R_last, t_last))
             out = to.track_full(
                 self.ms, self.calib, self.orb, frame, R_last, t_last,
-                R_l2, t_l2, jnp.asarray(self._has_vel),
-                last_matched, jnp.asarray(self.ref_kf),
+                R_l2, t_l2, self._dev_scalar("has_vel", self._has_vel),
+                last_matched, self._dev_scalar("ref_kf", self.ref_kf),
                 cfg.map.local_mp_cap)
         self.ms = out.ms                # input ms was donated
         try:
@@ -753,22 +797,52 @@ class System:
         valid[:len(rows)] = True
         return out, valid
 
-    def _complete_one(self):
+    def _complete_batch(self, n: int):
+        """Complete n in-flight frames with ONE blocking device_get (the
+        tunnel round trip dominates a fetch; batching divides it by n)."""
+        fls = [self._inflight.popleft() for _ in range(n)]
+        tf = time.perf_counter()
+        handles = [fl.out.stats for fl in fls]
+        pend = self._pending_kf_info
+        if pend is not None:
+            handles.append(pend[1])
+        fetched = jax.device_get(tuple(handles))
+        if pend is not None:
+            self._pending_kf_info = None
+            self._integrate_kf_info(pend[0], np.asarray(fetched[-1]))
+            fetched = fetched[:n]
+        self._tic(tf, "stats_fetch")
+        for fl, pk in zip(fls, fetched):
+            if self.state == OK:
+                self._complete_one(fl=fl, packed=np.asarray(pk))
+            else:
+                # an earlier frame of this batch lost tracking: the rest
+                # go through the loss path (same as _on_track_failure does
+                # for still-in-flight frames)
+                self._track_lost(fl.frame, fl.timestamp,
+                                 frame_id=fl.frame_id)
+
+    def _complete_one(self, fl: Optional[InFlight] = None,
+                      packed: Optional[np.ndarray] = None):
         """Fetch + integrate the oldest in-flight frame: state machine,
         pose bookkeeping, keyframe decision (the host half of
         Tracking::Track)."""
-        fl = self._inflight.popleft()
+        if fl is None:
+            fl = self._inflight.popleft()
         cfg = self.cfg
-        if self._pending_kf_info is not None:
-            # previous keyframe's deferred info rides the same round trip
-            packed, info = jax.device_get(
-                (fl.out.stats, self._pending_kf_info[1]))
-            self._integrate_kf_info(self._pending_kf_info[0],
-                                    np.asarray(info))
-            self._pending_kf_info = None
-            packed = np.asarray(packed)
-        else:
-            packed = np.asarray(fl.out.stats)  # the one per-frame fetch
+        if packed is None:
+            tf = time.perf_counter()
+            if self._pending_kf_info is not None:
+                # previous keyframe's deferred info rides the round trip
+                packed, info = jax.device_get(
+                    (fl.out.stats, self._pending_kf_info[1]))
+                self._integrate_kf_info(self._pending_kf_info[0],
+                                        np.asarray(info))
+                self._pending_kf_info = None
+                packed = np.asarray(packed)
+            else:
+                packed = np.asarray(fl.out.stats)  # one per-frame fetch
+            self._tic(tf, "stats_fetch")
         R_np = packed[:9].reshape(3, 3).astype(np.float32)
         t_np = packed[9:12].astype(np.float32)
         (n_pre, _used_wide, _used_fb, n_inliers,
@@ -973,6 +1047,25 @@ class System:
         while self._inflight:
             self._complete_one()
         self._flush_pending_info()
+        if self._loop_closer is not None:
+            self._loop_closer.flush()
+
+    _dev_scalar_cache: dict = None
+
+    def _dev_scalar(self, key: str, value):
+        """Device handle for a host scalar, re-uploaded only when the value
+        changes. Every naive jnp.asarray(python_scalar) in the per-frame
+        dispatch path costs a measured ~8.5 ms tunnel stall (the tiny
+        transfer synchronizes the remote stream), so per-frame flags like
+        has_vel / ref_kf must not re-upload each frame."""
+        if self._dev_scalar_cache is None:
+            self._dev_scalar_cache = {}
+        hit = self._dev_scalar_cache.get(key)
+        if hit is not None and hit[0] == value:
+            return hit[1]
+        dev = jnp.asarray(value)
+        self._dev_scalar_cache[key] = (value, dev)
+        return dev
 
     def _predicted_pose(self) -> np.ndarray:
         """Best host-side estimate for the newest dispatched frame (its
@@ -1338,11 +1431,16 @@ class System:
         last_g = getattr(self, "_last_gravity_refit", -1e9)
         due_refresh = (stage >= 1 and elapsed < 15.0
                        and elapsed - last_g >= 1.0)
-        if not (due_stage or due_refresh):
+        # mono-inertial: keep re-fitting the metric scale every ~10s until
+        # 75s (ref LocalMapping::ScaleRefinement, LocalMapping.cc:231-241)
+        mono = (self.calib.bf or 0.0) <= 0.0
+        due_scale = (mono and stage >= 1 and elapsed < 75.0
+                     and elapsed - last_g >= 10.0)
+        if not (due_stage or due_refresh or due_scale):
             return
-        if due_stage:
-            self._imu_stage = stage + 1
-        self._last_gravity_refit = elapsed
+        # NOTE: stage/refit markers are only advanced AFTER a successful
+        # solve — bumping them on an early bail-out (no usable segment run
+        # yet) would skip the staged refinement entirely
         # trailing run of non-empty segments (segment j = interval
         # (j-1, j); segment 0, mono-init segments, and IMU-blackout
         # intervals are empty and cannot enter the unmasked init chain)
@@ -1382,8 +1480,24 @@ class System:
         p_wb = np.einsum("kij,j->ki", R_wc, pcb) + p_wc
         res = inertial_opt.inertial_init(
             jnp.asarray(R_wb), jnp.asarray(p_wb), sts,
-            prior_g=jnp.asarray(1e2), prior_a=jnp.asarray(1e5))
+            prior_g=jnp.asarray(1e2), prior_a=jnp.asarray(1e5),
+            with_scale=mono)
         g_est = np.asarray(res.R_wg) @ np.array([0.0, 0.0, -9.81])
+        if not np.all(np.isfinite(g_est)):
+            return
+        if mono:
+            s = float(res.scale)
+            # reference rejects degenerate solves (scale<0.1,
+            # src/LocalMapping.cc InitializeIMU) and only touches the map
+            # when the correction is meaningful (ScaleRefinement applies
+            # when |s-1| > 0.002)
+            if not np.isfinite(s) or s < 0.1:
+                return
+            if abs(s - 1.0) > 2e-3:
+                self._apply_map_scale(s)
+        if due_stage:
+            self._imu_stage = stage + 1
+        self._last_gravity_refit = elapsed
         self.gravity = g_est.astype(np.float32)
         self.imu_bias = np.concatenate(
             [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
@@ -1392,6 +1506,41 @@ class System:
         # reseed the on-device inertial chain from the refined estimates
         self._v_dev = None
         self._bias_dev = None
+
+    def _apply_map_scale(self, s: float):
+        """Rescale the whole world by s (mono-inertial metric correction,
+        ref Map::ApplyScaledRotation called from InitializeIMU /
+        ScaleRefinement with R=I): positions, camera translations,
+        velocities, and the recorded trajectory all scale; rotations and
+        gravity (metric) do not."""
+        s = float(s)
+        ms = self.ms
+        self.ms = ms._replace(
+            mp_pos=ms.mp_pos * s,
+            kf_t=ms.kf_t * s,
+            mp_min_dist=ms.mp_min_dist * s,
+            mp_max_dist=ms.mp_max_dist * s,
+            kp_depth=jnp.where(ms.kp_depth > 0, ms.kp_depth * s,
+                               ms.kp_depth))
+        self.kf_velocities = self.kf_velocities * s
+        if self.vel_w is not None:
+            self.vel_w = (np.asarray(self.vel_w) * s).astype(np.float32)
+        self.last_t = (np.asarray(self.last_t) * s).astype(np.float32)
+        if self.vel is not None:
+            self.vel = np.asarray(self.vel).copy()
+            self.vel[:3, 3] *= s
+        R_ref, t_ref = self._ref_pose_np
+        self._ref_pose_np = (R_ref, (np.asarray(t_ref) * s
+                                     ).astype(np.float32))
+        for e in self.trajectory:
+            e.T_cr[:3, 3] *= s
+        # on-device pose/velocity handles are stale at the old scale
+        self._Rt_dev = None
+        self._Rt_dev2 = None
+        self._v_dev = None
+        # in-flight frames were tracked against the OLD-scale map; rerun
+        # them from the rescaled state or their completions read garbage
+        self._redispatch_inflight()
 
     def _full_inertial_ba(self):
         """FullInertialBA analog (ref Optimizer::FullInertialBA,
@@ -1519,6 +1668,15 @@ class System:
             walk_info=jnp.full(6, 1e8),
             R_bc=jnp.asarray(self.Tbc[:3, :3], R_cw.dtype),
             t_bc=jnp.asarray(self.Tbc[:3, 3], R_cw.dtype))
+        # a degenerate window (e.g. right after a mono scale jump) can
+        # blow up the solve; skip the writeback rather than poison the map
+        ok_pack = np.asarray(jnp.stack([
+            jnp.all(jnp.isfinite(res.R_wb)), jnp.all(jnp.isfinite(res.p_wb)),
+            jnp.all(jnp.isfinite(res.vels)), jnp.all(jnp.isfinite(res.g)),
+            jnp.all(jnp.isfinite(res.bg)), jnp.all(jnp.isfinite(res.ba)),
+            jnp.all(jnp.isfinite(res.mp_pos))]))
+        if not ok_pack.all():
+            return
         self.ms = self.ms._replace(mp_pos=res.mp_pos)
         # write back: T_cw = (T_wb * T_bc)^-1
         Rbc = jnp.asarray(self.Tbc[:3, :3], R_cw.dtype)

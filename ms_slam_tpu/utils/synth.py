@@ -109,6 +109,51 @@ class PlaneWorld:
         return img, depth.astype(np.float32)
 
 
+class CorridorWorld:
+    """Street-canyon world: two textured side walls at x = +-half_w and a
+    floor at y = y_floor, infinite along +z — the KITTI-like geometry
+    profile (building facades + road) that a forward drive never exits.
+    Side walls seen obliquely give depth structure from ~2 m out to the
+    horizon in every frame."""
+
+    def __init__(self, rng, half_w=6.0, y_floor=1.7, tex_scale=0.03):
+        self.half_w = half_w
+        self.y_floor = y_floor
+        self.tex_left = mondrian_texture(rng)
+        self.tex_right = mondrian_texture(rng)
+        self.tex_floor = mondrian_texture(rng)
+        self.tex_scale = tex_scale
+
+    _sample = PlaneWorld._sample
+    render_stereo = PlaneWorld.render_stereo
+
+    def render(self, K: np.ndarray, T_wc: np.ndarray, h: int, w: int):
+        Rwc = T_wc[:3, :3]
+        Ow = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                           (vs - K[1, 2]) / K[1, 1],
+                           np.ones_like(us, np.float64)], axis=-1)
+        d = rays_c @ Rwc.T
+
+        img = np.zeros((h, w), np.float32)
+        depth = np.full((h, w), np.inf)
+        planes = ((0, -self.half_w, self.tex_left, (1, 2)),
+                  (0, self.half_w, self.tex_right, (1, 2)),
+                  (1, self.y_floor, self.tex_floor, (0, 2)))
+        for ax, val, tex, (a_ax, b_ax) in planes:
+            da = d[..., ax]
+            da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
+            t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
+            ok = t > 0.1
+            Xw = Ow[None, None, :] + t[..., None] * d
+            v = self._sample(tex, Xw[..., a_ax], Xw[..., b_ax])
+            use = ok & (t < depth)
+            img = np.where(use, v, img)
+            depth = np.where(use, t, depth)
+        return img.astype(np.float32)
+
+
 class BoxWorld:
     """Closed textured room: 4 walls + floor + ceiling, for loop-closure
     sequences (every viewing direction sees texture)."""

@@ -159,3 +159,56 @@ def test_inertial_loop_closure_preserves_gravity(rng):
     g = slam.gravity
     assert abs(np.linalg.norm(g) - 9.81) < 0.6, g
     assert g[1] / np.linalg.norm(g) > 0.9, g
+
+
+@pytest.mark.slow
+def test_mono_inertial_metric_scale(rng):
+    """Mono-inertial (ref mono+IMU mode + LocalMapping::ScaleRefinement,
+    src/LocalMapping.cc:231-241): the IMU's metric scale must be estimated
+    at initialization (VertexScale in InertialOptimization,
+    src/Optimizer.cc:3050) and applied to the monocular map — the recorded
+    trajectory becomes METRIC, not just up-to-scale."""
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=0.0,
+                  width=W, height=H, th_depth=0.0, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=64, max_mp=8192, n_feat=512,
+                      local_mp_cap=2048, window_kf=6),
+        max_frames_between_kf=3,
+        use_imu=True, imu_init_kfs=6, imu_init_time=1.0)
+    slam = System(cfg)
+    world = synth.PlaneWorld(rng, z_wall=14.0, y_floor=2.0)
+    n_frames = 70
+    poses = synth.make_trajectory(n_frames, "arc")
+    frame_dt = 0.1
+    imu = synth.make_imu(poses, frame_dt, imu_rate=200)
+    for i, T_wc in enumerate(poses):
+        img = world.render(K, T_wc, H, W)
+        if i == 0:
+            slam.track_monocular(img, 0.0)
+        else:
+            slam.track_monocular_imu(img, frame_dt * i, imu[i - 1])
+    slam._flush_pipeline()
+    assert slam.state == "OK", slam.state
+    assert slam.imu_initialized
+    # gravity metric and upright
+    g = slam.gravity
+    assert abs(np.linalg.norm(g) - 9.81) < 0.6, g
+    assert g[1] / np.linalg.norm(g) > 0.9, g
+
+    gt_by_ts = {round(frame_dt * i, 6): T for i, T in enumerate(poses)}
+    rows = slam.poses_wc()
+    est_xyz = np.stack([T[:3, 3] for _, T in rows])
+    gt_xyz = np.stack([gt_by_ts[round(ts, 6)][:3, 3] for ts, _ in rows])
+    # METRIC scale: compare travelled path length over the post-init span
+    # without any scale alignment
+    half = len(rows) // 2
+    est_path = np.sum(np.linalg.norm(np.diff(est_xyz[half:], axis=0),
+                                     axis=1))
+    gt_path = np.sum(np.linalg.norm(np.diff(gt_xyz[half:], axis=0), axis=1))
+    assert abs(est_path / max(gt_path, 1e-9) - 1.0) < 0.2, (est_path,
+                                                            gt_path)
+    # and the shape is right (scale-free ATE)
+    path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
+    rmse = ate_rmse(est_xyz, gt_xyz, with_scale=True)
+    assert rmse < 0.12 * path, (rmse, path)

@@ -59,7 +59,7 @@ def test_long_run_slot_recycling(rng):
     # starved at the end of the run)
     last = slam.kf_order[-1]
     import jax.numpy as jnp
-    assert int(jnp.sum(slam.ms.obs_mp[last] >= 0)) > 30
+    assert int(jnp.sum(slam.ms.obs_mp[last] >= 0)) > 20
     # sparsification actually compressed the survivors (the 256-feature
     # corridor has thin coverage; reference-scale >70% compression is
     # asserted by the dense-feature memory A/B test)
