@@ -503,19 +503,113 @@ def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
     preints: preintegration between consecutive keyframes, fields stacked on
     a leading (K-1,) axis. prior_g/prior_a: bias priors (ref priorG=1e2,
     priorA=1e6-1e10 schedule, src/LocalMapping.cc:185-224).
-    """
+
+    The nonlinear MAP is seeded by a CLOSED-FORM linear visual-inertial
+    alignment: with rotations known, the ev/ep preintegration equations
+    are LINEAR in (v_0..v_{K-1}, g_w, s) — one least-squares solve gives
+    globally-consistent velocities, gravity direction, and metric scale.
+    (The reference seeds only gravity, from dirG = -sum R*dV,
+    src/LocalMapping.cc:1256; the joint linear solve also recovers the
+    mono scale, where a GN started at s=1 with visual-scale velocities
+    falls into the s->0 basin whenever the true scale correction is
+    large.) Biases and the whitened MAP refinement stay nonlinear."""
     K = R_wb.shape[0]
     dtK = preints.dT
     dt = R_wb.dtype
 
-    # initial velocities by finite differences (ref InitializeIMU :1256)
+    # ---- linear alignment: unknowns [v_0..v_{K-1} (3K), g (3), s?] ----
+    T = dtK                                           # (K-1,)
+    RdV = jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dV)
+    RdP = jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dP)
+    dp_vis = p_wb[1:] - p_wb[:-1]
+    D_lin = 3 * K + 3 + (1 if with_scale else 0)
+    E = 6 * (K - 1)
+    A = jnp.zeros((E, D_lin), dt)
+    b = jnp.zeros((E,), dt)
+    i3 = jnp.eye(3, dtype=dt)
+    idx = jnp.arange(K - 1)
+    # ev rows: -v_i + v_{i+1} - T g = R_i dV_i
+    r0 = 6 * idx
+    for r in range(3):
+        A = A.at[r0 + r, :].add(jnp.zeros((K - 1, D_lin), dt)
+                                .at[idx, 3 * idx + r].add(-1.0)
+                                .at[idx, 3 * idx + 3 + r].add(1.0)
+                                .at[idx, 3 * K + r].add(-T))
+        b = b.at[r0 + r].set(RdV[:, r])
+    # ep rows: -T v_i - 0.5 T^2 g + s dp_i = R_i dP_i  (s folded to RHS
+    # when fixed)
+    r1 = 6 * idx + 3
+    for r in range(3):
+        row = jnp.zeros((K - 1, D_lin), dt) \
+            .at[idx, 3 * idx + r].add(-T) \
+            .at[idx, 3 * K + r].add(-0.5 * T * T)
+        if with_scale:
+            row = row.at[idx, 3 * K + 3].add(dp_vis[:, r])
+            b = b.at[r1 + r].set(RdP[:, r])
+        else:
+            b = b.at[r1 + r].set(RdP[:, r] - dp_vis[:, r])
+        A = A.at[r1 + r, :].add(row)
+    sol = jnp.linalg.lstsq(A, b)[0]
+    v_lin = sol[:3 * K].reshape(K, 3)
+    g_lin = sol[3 * K:3 * K + 3]
+    gn = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
+    if with_scale:
+        # Scale estimation is an errors-in-variables problem: both sides
+        # of s*dp_vis = IMU-implied-displacement carry noise. The forward
+        # regression (s as slope on the noisy visual deltas) is biased
+        # LOW — observed to collapse s by 100x on weakly-excited
+        # trajectories; the inverse regression (mu = 1/s as slope on the
+        # IMU side, which carries the gravity-direction error) is biased
+        # HIGH. The geometric mean of the two slopes is the classic
+        # reduced-major-axis estimator and lands on the consistent value.
+        # Chain velocities follow the preintegration exactly:
+        # v_i = v_0 + sum(g T + R dV); displacement_i = v_i*T_i
+        # + 0.5 g T_i^2 + R_i dP_i.
+        g_fix = 9.81 * gn
+        chain = jnp.concatenate([
+            jnp.zeros((1, 3), dt),
+            jnp.cumsum(g_fix[None, :] * T[:, None] + RdV, axis=0)])
+        disp = chain[:-1] * T[:, None] + 0.5 * g_fix[None, :] \
+            * (T * T)[:, None] + RdP                       # (K-1,3)
+        # inverse: dp_vis = w0*T + mu*disp  (w0 = v0/s, mu = 1/s)
+        A2 = jnp.zeros((3 * (K - 1), 4), dt)
+        for r in range(3):
+            A2 = A2.at[3 * idx + r, r].set(T)
+            A2 = A2.at[3 * idx + r, 3].set(disp[:, r])
+        sol2 = jnp.linalg.lstsq(A2, dp_vis.reshape(-1))[0]
+        mu = sol2[3]
+        s_inv = jnp.where(mu > 1e-4, 1.0 / jnp.maximum(mu, 1e-4),
+                          jnp.abs(sol[3 * K + 3]))
+        # forward: s*dp_vis - v0*T = disp
+        A3 = jnp.zeros((3 * (K - 1), 4), dt)
+        for r in range(3):
+            A3 = A3.at[3 * idx + r, r].set(T)
+            A3 = A3.at[3 * idx + r, 3].set(dp_vis[:, r])
+        sol3 = jnp.linalg.lstsq(A3, disp.reshape(-1))[0]
+        s_fwd = jnp.abs(sol3[3])
+        s_lin = jnp.clip(jnp.sqrt(jnp.maximum(s_fwd * s_inv, 1e-6)),
+                         1e-2, 1e3)
+        # re-seed metric velocities consistently with the chain
+        v_lin = sol2[None, :3] * s_lin + chain
+    else:
+        s_lin = jnp.ones((), dt)
+    # gravity-direction seed: R_wg0 aligns [0,0,-1] to g_lin
+    e3n = jnp.asarray([0.0, 0.0, -1.0], dt)
+    ax = jnp.cross(e3n, gn)
+    sin_a = jnp.linalg.norm(ax)
+    cos_a = jnp.dot(e3n, gn)
+    ang = jnp.arctan2(sin_a, cos_a)
+    ax = jnp.where(sin_a > 1e-9, ax / jnp.maximum(sin_a, 1e-9),
+                   jnp.asarray([1.0, 0.0, 0.0], dt))
+    R_wg0 = lie.so3_exp(ax * ang)
+
     def x_unpack(x):
         rg = jnp.concatenate([x[:2], jnp.zeros(1, dt)])
-        R_wg = lie.so3_exp(rg)
+        R_wg = R_wg0 @ lie.so3_exp(rg)
         bg = x[2:5]
         ba = x[5:8]
-        s = jnp.exp(x[8]) if with_scale else jnp.ones((), dt)
-        vels = x[9:].reshape(K, 3)
+        s = s_lin * jnp.exp(x[8]) if with_scale else jnp.ones((), dt)
+        vels = v_lin + x[9:].reshape(K, 3)
         return R_wg, bg, ba, s, vels
 
     def residuals(x):
@@ -541,15 +635,20 @@ def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
         res = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
         prior = jnp.concatenate([jnp.sqrt(prior_g) * bg,
                                  jnp.sqrt(prior_a) * ba])
+        if with_scale:
+            # pin log-scale to the unbiased inverse-regression estimate:
+            # the whitened MAP treats the visual poses as noiseless, so
+            # its scale gradient carries the same errors-in-variables
+            # shrinkage the linear forward solve does — scale is decided
+            # by the unbiased estimator, gravity/bias/velocities by the
+            # MAP (ref ScaleRefinement re-fits s separately too,
+            # src/LocalMapping.cc:231-241)
+            prior = jnp.concatenate([prior, 1e4 * x[8:9]])
         return jnp.concatenate([res, prior])
 
+    # the linear alignment already seeds velocities/gravity/scale; the GN
+    # state starts at zero deltas around it
     x0 = jnp.zeros(9 + 3 * K, dt)
-    # FD velocity init
-    v_fd = jnp.concatenate([
-        (p_wb[1:] - p_wb[:-1]) / jnp.maximum(dtK[:, None], 1e-3),
-        jnp.zeros((1, 3), dt)])
-    v_fd = jnp.concatenate([v_fd[:1], v_fd[:-1]])  # shift: v_i approx
-    x0 = x0.at[9:].set(v_fd.reshape(-1))
 
     def gn(i, x):
         r = residuals(x)

@@ -73,8 +73,11 @@ def search_by_projection(
     pt_angle: jnp.ndarray | None = None,
     f_angle: jnp.ndarray | None = None,
 ) -> ProjMatches:
-    """Track-local-map association (ref ORBmatcher::SearchByProjection:43 +
-    Frame::isInFrustum gating from Tracking::SearchLocalPoints).
+    """Projection-guided association (ref ORBmatcher::SearchByProjection:43
+    for track-local-map — no rotation histogram there — and :1941 for the
+    last-frame motion-model variant, which HAS the histogram; pass
+    pt_angle/f_angle only for the latter) + Frame::isInFrustum gating from
+    Tracking::SearchLocalPoints.
 
     Returns per-feature local-point assignment (mutual-best, radius-, octave-
     and ratio-gated).

@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import cameras
+from . import cameras, hamming, lie
 
 
 def horn(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray,
@@ -110,3 +110,113 @@ def sim3_ransac(model: int, params: jnp.ndarray,
     inl_o = jnp.where(better, inl_f, inl)
     return Sim3RansacResult(s=s_o, R=R_o, t=t_o, inliers=inl_o,
                             n_inliers=jnp.sum(inl_o).astype(jnp.int32))
+
+
+class Sim3RefineResult(NamedTuple):
+    s: jnp.ndarray
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+def sim3_refine(model: int, params: jnp.ndarray,
+                Xc1: jnp.ndarray, Xc2: jnp.ndarray,
+                uv1: jnp.ndarray, uv2: jnp.ndarray,
+                sigma2_1: jnp.ndarray, sigma2_2: jnp.ndarray,
+                mask: jnp.ndarray,
+                s0: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
+                with_scale: bool = False, n_iters: int = 10,
+                th2: float = 10.0) -> Sim3RefineResult:
+    """Iterative Sim(3) Gauss-Newton refinement (ref Optimizer::OptimizeSim3,
+    /root/reference/src/Optimizer.cc:1986: bidirectional reprojection edges
+    EdgeSim3ProjectXYZ/EdgeInverseSim3ProjectXYZ with Huber delta sqrt(th2),
+    th2 = 10). State: [omega(3), dt(3), dlog s] around (s0, R0, t0) mapping
+    camera-2 coords into camera-1 coords. Huber-weighted IRLS with a final
+    chi2 inlier count in both directions."""
+    dt_ = Xc1.dtype
+    D = 7 if with_scale else 6
+
+    def unpack(x):
+        R = lie.normalize_rotation(lie.so3_exp(x[:3]) @ R0)
+        t = t0 + x[3:6]
+        s = s0 * jnp.exp(x[6]) if with_scale else s0
+        return s, R, t
+
+    def raw_res(x):
+        s, R, t = unpack(x)
+        X2in1 = s * (Xc2 @ R.T) + t
+        e1 = (cameras.project(model, params, X2in1) - uv1) \
+            / jnp.sqrt(sigma2_1)[:, None]
+        X1in2 = ((Xc1 - t) @ R) / s
+        e2 = (cameras.project(model, params, X1in2) - uv2) \
+            / jnp.sqrt(sigma2_2)[:, None]
+        cheir = (X2in1[:, 2] > 0.05) & (X1in2[:, 2] > 0.05)
+        return e1, e2, cheir
+
+    def residuals(x, sw):
+        e1, e2, _ = raw_res(x)
+        return jnp.concatenate([(e1 * sw[:, 0:1]).reshape(-1),
+                                (e2 * sw[:, 1:2]).reshape(-1)])
+
+    def gn(i, x):
+        e1, e2, cheir = raw_res(x)
+        chi1 = jnp.sum(e1 * e1, -1)
+        chi2c = jnp.sum(e2 * e2, -1)
+        # Huber weights (IRLS), frozen wrt x in the differentiated path
+        w1 = jnp.where(chi1 > th2, jnp.sqrt(th2 / jnp.maximum(chi1, 1e-9)),
+                       1.0)
+        w2 = jnp.where(chi2c > th2, jnp.sqrt(th2 / jnp.maximum(chi2c, 1e-9)),
+                       1.0)
+        m = (mask & cheir).astype(dt_)
+        sw = jax.lax.stop_gradient(
+            jnp.stack([w1 * m, w2 * m], -1))
+        r = residuals(x, sw)
+        J = jax.jacfwd(residuals)(x, sw)
+        Hm = J.T @ J + 1e-6 * jnp.eye(D, dtype=dt_)
+        return x + jnp.linalg.solve(Hm, -J.T @ r)
+
+    x = jax.lax.fori_loop(0, n_iters, gn, jnp.zeros(D, dt_))
+    s, R, t = unpack(x)
+    e1, e2, cheir = raw_res(x)
+    inl = mask & cheir & (jnp.sum(e1 * e1, -1) < th2) \
+        & (jnp.sum(e2 * e2, -1) < th2)
+    return Sim3RefineResult(s=s, R=R, t=t, inliers=inl,
+                            n_inliers=jnp.sum(inl).astype(jnp.int32))
+
+
+def sim3_guided_match(model: int, params: jnp.ndarray,
+                      s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                      Xc2: jnp.ndarray, valid2: jnp.ndarray,
+                      desc2: jnp.ndarray,
+                      xy1: jnp.ndarray, octave1: jnp.ndarray,
+                      desc1: jnp.ndarray, valid1: jnp.ndarray,
+                      img_w: float, img_h: float,
+                      th_radius: float = 7.5,
+                      scale_factor: float = 1.2,
+                      max_dist: int = 100) -> jnp.ndarray:
+    """Sim3-guided projection search one way (ref
+    ORBmatcher::SearchByProjection(KF, Scw, ...) src/ORBmatcher.cc:532 and
+    SearchBySim3 :1718): project keyframe-2 landmarks into keyframe-1's
+    image under S12 and match descriptors within a scale-aware radius.
+    Distances up to TH_HIGH qualify — this is what harvests viewpoint-
+    changed matches the mutual TH_LOW/ratio matcher drops.
+
+    Returns (N2,) best keyframe-1 feature index per keyframe-2 feature
+    (-1 if none)."""
+    X2in1 = s * (Xc2 @ R.T) + t
+    uv = cameras.project(model, params, X2in1)
+    vis = valid2 & (X2in1[:, 2] > 0.05) \
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_w) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_h)
+    radius = th_radius * scale_factor ** octave1.astype(jnp.float32)
+    d = hamming.hamming_matrix(desc2, desc1)            # (N2,N1)
+    du = jnp.abs(uv[:, 0:1] - xy1[None, :, 0])
+    dv = jnp.abs(uv[:, 1:2] - xy1[None, :, 1])
+    near = (du <= radius[None, :]) & (dv <= radius[None, :])
+    ok = near & vis[:, None] & valid1[None, :]
+    BIG = jnp.asarray(1 << 15, d.dtype)
+    d = jnp.where(ok, d, BIG)
+    best1 = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best1[:, None], 1)[:, 0]
+    return jnp.where(best_d <= max_dist, best1, -1).astype(jnp.int32)

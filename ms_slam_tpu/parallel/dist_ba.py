@@ -101,7 +101,10 @@ def dist_ba_solve(mesh: Mesh, model: int, params, bf,
     bf = jnp.asarray(bf, dt)
     D = mesh.devices.size
     if n_cg is None:
-        n_cg = min(C * 6, 96)
+        # scale the CG budget with the camera-system size: large post-loop
+        # global BAs (C*6 in the thousands) under-converge on a fixed small
+        # cap (ADVICE r3)
+        n_cg = min(C * 6, max(96, (C * 6) // 8))
 
     Pp, f_pt_r, f_valid_r, (f_cam_r, f_uv_r, f_ur_r, f_s2_r) = \
         route_factors_by_point(D, Pn, f_pt, f_valid,
@@ -221,8 +224,10 @@ def dist_ba_solve(mesh: Mesh, model: int, params, bf,
             x0 = jnp.zeros((C, 6), dt)
             z0 = prec(v)
             rz0 = jnp.sum(v * z0)
-            (dxc, _, _, _, _, _), _ = jax.lax.scan(
+            (dxc, _, _, rz_f, _, _), _ = jax.lax.scan(
                 cg_step, (x0, v, z0, rz0, rz0, rz0 > 0), None, length=n_cg)
+            cg_ratio = jnp.sqrt(jnp.maximum(rz_f, 0.0)
+                                / jnp.maximum(rz0, 1e-30))
 
             # point back-substitution (local), re-assembled with a psum
             # (each device contributes only its owned point range)
@@ -237,17 +242,19 @@ def dist_ba_solve(mesh: Mesh, model: int, params, bf,
             dR, dtc = lie.se3_exp(dxc)
             R_new, t_new = lie.se3_compose(dR, dtc, R_all, t_all)
             R_new = lie.normalize_rotation(R_new)
-            return (R_new, t_new, P_rep + dxp), None
+            return (R_new, t_new, P_rep + dxp), cg_ratio
 
-        state, _ = jax.lax.scan(iteration, (kf_R, kf_t, mp_pos), None,
-                                length=n_iters)
-        return state
+        state, ratios = jax.lax.scan(iteration, (kf_R, kf_t, mp_pos), None,
+                                     length=n_iters)
+        return state + (ratios,)
 
     kf_R, kf_t, cam_opt, mp_pos, pt_opt = replicate(
         mesh, jnp.asarray(kf_R), jnp.asarray(kf_t), jnp.asarray(cam_opt),
         jnp.asarray(mp_pos), jnp.asarray(pt_opt))
-    return run(kf_R, kf_t, cam_opt, mp_pos, pt_opt,
-               f_cam_r, f_pt_r, f_uv_r, f_ur_r, f_s2_r, f_valid_r)
+    R_n, t_n, P_n, cg_ratios = run(
+        kf_R, kf_t, cam_opt, mp_pos, pt_opt,
+        f_cam_r, f_pt_r, f_uv_r, f_ur_r, f_s2_r, f_valid_r)
+    return R_n, t_n, P_n, cg_ratios
 
 
 def dist_global_ba(ms, calib, orb_cfg, fixed_kf: int, mesh: Mesh,
@@ -273,8 +280,14 @@ def dist_global_ba(ms, calib, orb_cfg, fixed_kf: int, mesh: Mesh,
     f_valid = f_valid.reshape(-1)
     cam_opt = ms.kf_valid & (jnp.arange(K) != fixed_kf)
 
-    R_n, t_n, P_n = dist_ba_solve(
+    R_n, t_n, P_n, cg_ratios = dist_ba_solve(
         mesh, calib.model, calib.params_array(), jnp.asarray(calib.bf),
         ms.kf_R, ms.kf_t, cam_opt, ms.mp_pos, ms.mp_valid,
         f_cam, f_pt, f_uv, f_ur, f_s2, f_valid, n_iters=n_iters)
+    # surface the final preconditioned CG residual ratio so an
+    # under-converged reduced-camera solve is detectable (ADVICE r3)
+    last = float(jax.device_get(cg_ratios[-1]))
+    if last > 1e-2:
+        print(f"# dist_global_ba: CG residual ratio {last:.3e} "
+              f"(under-converged reduced camera solve)")
     return ms._replace(kf_R=R_n, kf_t=t_n, mp_pos=P_n)

@@ -22,7 +22,14 @@ class Calib(NamedTuple):
     """Static camera calibration (hashable -> jit static argument).
 
     Mirrors Settings' camera section (/root/reference/src/Settings.cc:144-:
-    fx fy cx cy, stereo bf, depth threshold)."""
+    fx fy cx cy, stereo bf, depth threshold). For unrectified stereo-
+    fisheye (two KannalaBrandt8 cameras, ref Frame fisheye ctor with
+    Nleft/Nright + KannalaBrandt8::mvLappingArea), params2/T_rl/lapping
+    describe the second camera: T_rl maps LEFT-camera coords into
+    RIGHT-camera coords (12 floats, row-major [R|t] — ref
+    Stereo.T_c1_c2 inverse), lapping = (x0_l, x1_l, x0_r, x1_r) pixel
+    columns (ref Camera1/2.overlappingBegin/End,
+    src/Settings.cc:263-333)."""
 
     model: int              # cameras.PINHOLE / cameras.KB8
     params: tuple           # up to 8 floats (fx, fy, cx, cy, k0..k3)
@@ -31,12 +38,26 @@ class Calib(NamedTuple):
     height: int
     th_depth: float = 35.0  # close/far stereo point threshold (ref ThDepth)
     fps: float = 10.0
+    params2: tuple = ()     # right-camera intrinsics (fisheye stereo)
+    T_rl: tuple = ()        # right-from-left extrinsic, 12 floats
+    lapping: tuple = ()     # (x0_l, x1_l, x0_r, x1_r)
 
     def params_array(self):
         import numpy as np
         p = np.zeros(8, np.float32)
         p[:len(self.params)] = self.params
         return jnp.asarray(p)
+
+    def params2_array(self):
+        import numpy as np
+        p = np.zeros(8, np.float32)
+        src = self.params2 if self.params2 else self.params
+        p[:len(src)] = src
+        return jnp.asarray(p)
+
+    @property
+    def is_fisheye_stereo(self) -> bool:
+        return len(self.T_rl) == 12
 
     @property
     def min_z(self) -> float:
@@ -85,6 +106,95 @@ def _process_stereo_impl(img_l, img_r, calib: Calib,
     sigma2 = scale2[feats_l.octave]
     return FrameData(feats=feats_l, u_right=sm.u_right, depth=sm.depth,
                      sigma2=sigma2)
+
+
+@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+def process_stereo_fisheye(imgs: jnp.ndarray, calib: Calib,
+                           orb_cfg: orb.OrbConfig) -> FrameData:
+    """Unrectified stereo-fisheye frontend (two KannalaBrandt8 cameras):
+    ORB on both full images, mutual descriptor matching restricted to the
+    lapping areas, and KB8 two-view triangulation of the matches — the
+    TPU-batched counterpart of Frame::ComputeStereoFishEyeMatches +
+    KannalaBrandt8::matchAndtriangulate
+    (/root/reference/src/Frame.cc fisheye ctor,
+    src/CameraModels/KannalaBrandt8.cpp). Matched features get a
+    triangulated left-camera depth; u_right stays -1 (there is no
+    rectified right coordinate — downstream stereo residuals apply only
+    to rectified rigs, matching the reference's separate fisheye
+    handling)."""
+    from ..ops import cameras, matching, triangulate
+
+    imgs_f = imgs.astype(jnp.float32)
+    featsB, _ = orb.extract_canvas_multi(imgs_f, orb_cfg)
+    f_l = jax.tree.map(lambda a: a[0], featsB)
+    f_r = jax.tree.map(lambda a: a[1], featsB)
+
+    x0l, x1l, x0r, x1r = (calib.lapping if len(calib.lapping) == 4
+                          else (0, calib.width, 0, calib.width))
+    lap_l = (f_l.xy[:, 0] >= x0l) & (f_l.xy[:, 0] <= x1l)
+    lap_r = (f_r.xy[:, 0] >= x0r) & (f_r.xy[:, 0] <= x1r)
+    mm = matching.mutual_match(
+        f_l.desc, f_l.valid & lap_l, f_r.desc, f_r.valid & lap_r,
+        max_dist=matching.TH_LOW, nn_ratio=0.9,
+        angle_a=f_l.angle, angle_b=f_r.angle)
+    has = mm.idx_b >= 0
+    ib = jnp.clip(mm.idx_b, 0)
+
+    # KB8 triangulation in the left camera frame
+    T = jnp.asarray(calib.T_rl, jnp.float32).reshape(3, 4)
+    R_rl, t_rl = T[:, :3], T[:, 3]
+    p1 = calib.params_array()
+    p2 = calib.params2_array()
+    b_l = cameras.kb8_unproject(p1, f_l.xy)
+    b_r = cameras.kb8_unproject(p2, f_r.xy)[ib]
+    N = b_l.shape[0]
+    P1 = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
+                         jnp.zeros((3, 1), jnp.float32)], 1), (N, 3, 4))
+    P2 = jnp.broadcast_to(T, (N, 3, 4))
+    X = triangulate.triangulate_dlt(b_l, b_r, P1, P2)
+    scale2 = jnp.asarray(
+        [s * s for s in orb_cfg.level_scales()], dtype=jnp.float32)
+    s2_l = scale2[f_l.octave]
+    s2_r = scale2[f_r.octave][ib]
+
+    # Gauss-Newton polish of each point over BOTH fisheye reprojections
+    # (the z=1-bearing DLT minimizes algebraic error, which biases depth
+    # several percent at narrow disparity; two 3x3 GN steps recover the
+    # ML triangulation the reference gets from its unrectified
+    # Triangulate + checks)
+    from ..ops import lie as lie_ops
+    xy_r = f_r.xy[ib]
+    wl = (1.0 / jnp.maximum(s2_l, 1e-9))[:, None, None]
+    wr = (1.0 / jnp.maximum(s2_r, 1e-9))[:, None, None]
+
+    def gn_step(X):
+        r1 = cameras.kb8_project(p1, X) - f_l.xy
+        J1 = cameras.kb8_project_jac(p1, X)
+        Xr_ = X @ R_rl.T + t_rl
+        r2 = cameras.kb8_project(p2, Xr_) - xy_r
+        J2 = jnp.einsum("nij,jk->nik", cameras.kb8_project_jac(p2, Xr_),
+                        R_rl)
+        Hm = (jnp.einsum("nij,nik->njk", J1 * wl, J1)
+              + jnp.einsum("nij,nik->njk", J2 * wr, J2)
+              + 1e-6 * jnp.eye(3, dtype=X.dtype))
+        g = (jnp.einsum("nij,ni->nj", J1 * wl, r1)
+             + jnp.einsum("nij,ni->nj", J2 * wr, r2))
+        dX = jnp.einsum("nij,nj->ni", lie_ops.inv3x3(Hm), g)
+        return X - dX
+
+    X = gn_step(gn_step(X))
+    z_l = X[:, 2]
+    Xr = X @ R_rl.T + t_rl
+    z_r = Xr[:, 2]
+    e_l = jnp.sum((cameras.kb8_project(p1, X) - f_l.xy) ** 2, -1)
+    e_r = jnp.sum((cameras.kb8_project(p2, Xr) - f_r.xy[ib]) ** 2, -1)
+    min_z = 0.05
+    good = (has & (z_l > min_z) & (z_r > min_z)
+            & (e_l < 5.991 * s2_l) & (e_r < 5.991 * s2_r))
+    depth = jnp.where(good, z_l, -1.0)
+    return FrameData(feats=f_l, u_right=jnp.full((N,), -1.0, jnp.float32),
+                     depth=depth, sigma2=s2_l)
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg"))

@@ -45,10 +45,15 @@ INERTIAL_YAW_TOL = 0.349
 def _verify_pair_impl(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
                       kf_b: jnp.ndarray, key: jnp.ndarray,
                       with_scale: bool = False):
-    """Descriptor-match two keyframes and RANSAC-align their shared
-    landmark geometry: returns (n_inliers, s, R, t) with (s,R,t) mapping
-    keyframe-b camera coords into keyframe-a camera coords (scale free for
-    monocular, ref Sim3Solver bFixScale)."""
+    """Descriptor-match two keyframes, RANSAC-align their shared landmark
+    geometry, then run the reference's full verification cascade: Sim3-
+    guided projection search in BOTH directions to harvest matches beyond
+    the mutual-descriptor set (ref ORBmatcher::SearchBySim3,
+    src/ORBmatcher.cc:1718; SearchByProjection(Scw) :532) and an iterative
+    Sim3 Gauss-Newton refinement (ref Optimizer::OptimizeSim3,
+    src/Optimizer.cc:1986, th2=10). Returns (n_inliers, s, R, t) with
+    (s,R,t) mapping keyframe-b camera coords into keyframe-a camera coords
+    (scale free for monocular, ref Sim3Solver bFixScale)."""
     params = calib.params_array()
     va = ms.kp_valid[kf_a] & (ms.obs_mp[kf_a] >= 0)
     vb = ms.kp_valid[kf_b] & (ms.obs_mp[kf_b] >= 0)
@@ -61,15 +66,59 @@ def _verify_pair_impl(ms: M.MapState, calib: Calib, kf_a: jnp.ndarray,
     mp_a = ms.obs_mp[kf_a]
     mp_b = ms.obs_mp[kf_b][ib]
     ok = has & (mp_a >= 0) & (mp_b >= 0)
+    # per-feature landmark coords in each keyframe's camera frame
     Xa = ms.mp_pos[jnp.clip(mp_a, 0)]
-    Xb = ms.mp_pos[jnp.clip(mp_b, 0)]
-    Xc_a = lie.se3_apply(ms.kf_R[kf_a], ms.kf_t[kf_a], Xa)
-    Xc_b = lie.se3_apply(ms.kf_R[kf_b], ms.kf_t[kf_b], Xb)
+    Xb_all = ms.mp_pos[jnp.clip(ms.obs_mp[kf_b], 0)]
+    Xc_a_all = lie.se3_apply(ms.kf_R[kf_a], ms.kf_t[kf_a], Xa)
+    Xc_b_all = lie.se3_apply(ms.kf_R[kf_b], ms.kf_t[kf_b], Xb_all)
+    Xc_b = Xc_b_all[ib]
     s2a = (1.2 ** ms.kp_octave[kf_a].astype(jnp.float32)) ** 2
-    s2b = (1.2 ** ms.kp_octave[kf_b].astype(jnp.float32)) ** 2
-    res = sim3.sim3_ransac(calib.model, params, Xc_a, Xc_b, s2a, s2b[ib],
-                           ok, key, n_hyp=128, with_scale=with_scale)
-    return res.n_inliers, res.s, res.R, res.t
+    s2b_all = (1.2 ** ms.kp_octave[kf_b].astype(jnp.float32)) ** 2
+    res = sim3.sim3_ransac(calib.model, params, Xc_a_all, Xc_b, s2a,
+                           s2b_all[ib], ok, key, n_hyp=128,
+                           with_scale=with_scale)
+
+    # --- Sim3-guided projection harvest (both directions + agreement,
+    # ref SearchBySim3's two-way check) -------------------------------
+    w_img = jnp.asarray(calib.width, jnp.float32)
+    h_img = jnp.asarray(calib.height, jnp.float32)
+    g_b2a = sim3.sim3_guided_match(
+        calib.model, params, res.s, res.R, res.t,
+        Xc_b_all, vb, ms.kp_desc[kf_b],
+        ms.kp_xy[kf_a], ms.kp_octave[kf_a], ms.kp_desc[kf_a], va,
+        w_img, h_img)
+    si, Ri, ti = lie.sim3_inv(res.s, res.R, res.t)
+    g_a2b = sim3.sim3_guided_match(
+        calib.model, params, si, Ri, ti,
+        Xc_a_all, va, ms.kp_desc[kf_a],
+        ms.kp_xy[kf_b], ms.kp_octave[kf_b], ms.kp_desc[kf_b], vb,
+        w_img, h_img)
+    Na = va.shape[0]
+    Nb = vb.shape[0]
+    agree = (g_b2a >= 0) \
+        & (g_a2b[jnp.clip(g_b2a, 0)] == jnp.arange(Nb))
+    tgt = jnp.where(agree, g_b2a, Na)
+    guided_j = jnp.full((Na + 1,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(Nb, dtype=jnp.int32), mode="drop")[:Na]
+    # union: mutual matches take precedence, guided fills the rest
+    j_comb = jnp.where(ok, mm.idx_b, guided_j)
+    corr = j_comb >= 0
+    jc = jnp.clip(j_comb, 0)
+
+    # --- iterative Sim3 refinement on the combined set (OptimizeSim3)
+    ref = sim3.sim3_refine(
+        calib.model, params,
+        Xc_a_all, Xc_b_all[jc],
+        ms.kp_xy[kf_a], ms.kp_xy[kf_b][jc],
+        s2a, s2b_all[jc], corr,
+        res.s, res.R, res.t, with_scale=with_scale, n_iters=10)
+    # fall back to the RANSAC estimate if refinement diverged
+    better = ref.n_inliers >= res.n_inliers
+    n_out = jnp.maximum(ref.n_inliers, res.n_inliers)
+    s_o = jnp.where(better, ref.s, res.s)
+    R_o = jnp.where(better, ref.R, res.R)
+    t_o = jnp.where(better, ref.t, res.t)
+    return n_out, s_o, R_o, t_o
 
 
 _verify_pair = partial(jax.jit, static_argnames=("calib", "with_scale"))(
@@ -78,33 +127,37 @@ _verify_pair = partial(jax.jit, static_argnames=("calib", "with_scale"))(
 
 @partial(jax.jit, static_argnames=("calib", "with_scale", "k_cands"))
 def detect_and_verify(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
-                      present: jnp.ndarray, key: jnp.ndarray,
+                      present: jnp.ndarray, has_row: jnp.ndarray,
+                      rows: jnp.ndarray, key: jnp.ndarray,
                       min_score: jnp.ndarray, with_scale: bool,
                       k_cands: int = 3):
     """The whole per-keyframe place-recognition step as ONE device call
     (ref LoopClosing::NewDetectCommonRegions, src/LoopClosing.cc:330 +
-    KeyFrameDatabase::DetectNBestCandidates :600): brute appearance scoring
-    over the sparsified database, covisibility exclusion, top-k candidate
-    selection, and geometric Sim3/SE3 RANSAC verification of each — the
-    host fetches one packed array per keyframe instead of doing 3-6
-    separate round trips.
+    KeyFrameDatabase::DetectNBestCandidates :600): tf-idf BoW scoring over
+    the sparsified database — one (K,V)@(V,) matvec using the query
+    keyframe's own stored BoW row, cost independent of the database size —
+    covisibility exclusion, top-k candidate selection, and geometric
+    Sim3/SE3 RANSAC + guided-projection + OptimizeSim3 verification of
+    each; the host fetches one packed array per keyframe instead of doing
+    3-6 separate round trips. The heavyweight exact-descriptor rescoring
+    happens implicitly inside verification (mutual + guided matching).
 
     Returns (packed (k,15), group (K,)): per candidate
     [cand_slot, score, n_inl, s, t(3), R(9)]; group = covisibility mask of
     the best verified candidate (for the consecutive-verification rule)."""
-    from ..models.vocab import place_scores
+    from ..models.vocab import tfidf_scores
     covis = M.covisibility_counts(ms, slot)
     not_self = jnp.arange(ms.kf_valid.shape[0]) != slot
-    mask = present & ms.kf_valid & (covis == 0) & not_self
+    mask = present & ms.kf_valid & (covis == 0) & not_self & has_row
     # score EVERYTHING once; covisible neighbors give the adaptive floor
     # (ref LoopClosing computes minScore as the lowest BoW similarity to a
     # covisible keyframe, src/LoopClosing.cc:330 + DetectNBestCandidates
     # :600 — a candidate that looks less like "here" than the worst
     # covisible view is noise, and skipping its RANSAC verification keeps
     # place recognition off the device's critical path)
-    all_mask = ms.kf_valid & not_self
-    scores_all = place_scores(ms.kp_desc, ms.kp_valid, all_mask,
-                              ms.kp_desc[slot], ms.kp_valid[slot])
+    all_mask = ms.kf_valid & not_self & has_row
+    scores_all = tfidf_scores(rows, present, rows[slot])
+    scores_all = jnp.where(all_mask, scores_all, -1.0)
     nb_mask = all_mask & (covis > 0)
     nb_min = jnp.min(jnp.where(nb_mask, scores_all, jnp.inf))
     thr = jnp.maximum(min_score,
@@ -237,11 +290,14 @@ class LoopCloser:
         sys = self.sys
         if not self.db.present.any():
             return
+        if not self.db._trained:
+            self.db._train_now()
         self.stats["queries"] += 1
         self.key, sub = jax.random.split(self.key)
         packed, group_m = detect_and_verify(
             sys.ms, sys.calib, jnp.asarray(slot),
-            jnp.asarray(self.db.present), sub,
+            jnp.asarray(self.db.present), jnp.asarray(self.db.has_row),
+            self.db.rows, sub,
             jnp.asarray(0.05, jnp.float32), with_scale=self.mono)
         for h in (packed, group_m):
             try:

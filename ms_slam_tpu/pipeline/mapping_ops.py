@@ -424,18 +424,28 @@ class MappingStepOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
-                                   "n_fixed", "pt_cap", "ba_iters", "do_ba"),
+                                   "n_fixed", "pt_cap", "ba_iters", "do_ba",
+                                   "red_th"),
          donate_argnames=("ms",))
 def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                  kf_slot: jnp.ndarray, kf_ord: jnp.ndarray,
                  n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
-                 ba_iters: int, do_ba: bool = True) -> MappingStepOut:
+                 ba_iters: int, do_ba: bool = True,
+                 cullable: jnp.ndarray = None,
+                 red_th: float = 0.9) -> MappingStepOut:
     """The whole LocalMapping iteration as one device call (ref
     LocalMapping::Run body, src/LocalMapping.cc:68-: triangulation against
     covisible neighbors, duplicate fusion, windowed BA, point culling) —
     replacing ~10 separate dispatches + host round trips per keyframe.
     kf_ord: monotonically increasing keyframe ordinal (for culling age;
-    slot ids are recycled and no longer temporal)."""
+    slot ids are recycled and no longer temporal).
+
+    cullable: optional (K,) bool — keyframes the host permits culling (the
+    inertial protections of ref LocalMapping::KeyFrameCulling
+    src/LocalMapping.cc:1040-1062: keep the last Nd temporal keyframes and
+    any whose removal would open a preintegration gap beyond 0.5s/3s).
+    red_th: redundancy bar — 0.9 visual / 0.5 stereo-inertial (ref
+    src/LocalMapping.cc:935-941)."""
     kf_ord = jnp.asarray(kf_ord, jnp.int32)
     # age the slot-reuse quarantine (one tick per mapping iteration)
     ms = ms._replace(mp_quarantine=jnp.maximum(ms.mp_quarantine - 1, 0))
@@ -500,6 +510,12 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     def redundancy(k):
         obs = ms.obs_mp[k]
         has = (obs >= 0) & ms.kp_valid[k]
+        # non-monocular: only close stereo points count toward redundancy
+        # (ref KeyFrameCulling skips GetDepth(i) > mThDepth or < 0,
+        # src/LocalMapping.cc:983-987) — far points are cheap to keep and
+        # culling on them starves wide-baseline geometry
+        if (calib.bf or 0.0) > 0.0:
+            has &= (ms.kp_depth[k] > 0) & (ms.kp_depth[k] <= calib.th_depth)
         o = jnp.clip(ms.kp_octave[k], 0, n_levels - 1)
         n_other = cum_oct[jnp.clip(obs, 0),
                           jnp.minimum(o + 1, n_levels - 1)] - 1
@@ -509,8 +525,10 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
             tot
 
     red_ratio, red_total = jax.vmap(redundancy)(win_idx)
+    cull_ok = (jnp.ones_like(win_mask) if cullable is None
+               else cullable[win_idx])
     kf_kill = (win_mask & (win_idx != kf_slot) & (win_idx != 0)
-               & (red_ratio > 0.9) & (red_total > 50))
+               & (red_ratio > red_th) & (red_total > 50) & cull_ok)
     kill_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
         jnp.where(kf_kill, win_idx, ms.kf_valid.shape[0])].set(
         True, mode="drop")
@@ -536,7 +554,8 @@ class KeyframeStepOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
-                                   "n_fixed", "pt_cap", "ba_iters", "do_ba"),
+                                   "n_fixed", "pt_cap", "ba_iters", "do_ba",
+                                   "red_th"),
          donate_argnames=("ms",))
 def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                   slot: jnp.ndarray, frame: FrameData, R: jnp.ndarray,
@@ -544,7 +563,9 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                   kf_ord: jnp.ndarray, frame_id: jnp.ndarray,
                   depth_max: jnp.ndarray,
                   n_tri: int, window_kf: int, n_fixed: int, pt_cap: int,
-                  ba_iters: int, do_ba: bool = True) -> KeyframeStepOut:
+                  ba_iters: int, do_ba: bool = True,
+                  cullable: jnp.ndarray = None,
+                  red_th: float = 0.9) -> KeyframeStepOut:
     """Keyframe insertion + the whole local-mapping iteration in one device
     call (create_keyframe then mapping_step), returning every scalar the
     host schedule needs — including the BA-refined keyframe pose — in a
@@ -554,7 +575,8 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                                    kf_ord, frame_id, depth_max)
     out = mapping_step(ms, calib, orb_cfg, slot, kf_ord,
                        n_tri=n_tri, window_kf=window_kf, n_fixed=n_fixed,
-                       pt_cap=pt_cap, ba_iters=ba_iters, do_ba=do_ba)
+                       pt_cap=pt_cap, ba_iters=ba_iters, do_ba=do_ba,
+                       cullable=cullable, red_th=red_th)
     ms = out.ms
     # reference-matches count for the keyframe decision: only points with
     # >= 3 observations count (ref KeyFrame::TrackedMapPoints(minObs=3) via

@@ -89,6 +89,10 @@ class SystemConfig:
     use_imu: bool = False
     imu_init_kfs: int = 8
     imu_init_time: float = 1.0
+    # inertial keyframe-culling protection: keep the last Nd temporal
+    # keyframes un-cullable (ref KeyFrameCulling Nd=21,
+    # src/LocalMapping.cc:931; smaller default for small feature budgets)
+    imu_protect_nd: int = 10
     # continuous-time IMU noise densities (ref IMU.NoiseGyro/NoiseAcc/
     # GyroWalk/AccWalk yaml keys, Settings::readIMU src/Settings.cc)
     imu_noise_gyro: float = 1e-3
@@ -239,7 +243,17 @@ class System:
         if self._prefetched_frame is not None:
             fut = self._prefetched_frame
             self._prefetched_frame = None
-            frame = fut.result() if hasattr(fut, "result") else fut
+            if hasattr(fut, "result"):
+                try:
+                    frame = fut.result()
+                except Exception as e:
+                    # annotate which frame's background prefetch failed —
+                    # the exception surfaces one frame after the dispatch
+                    raise RuntimeError(
+                        f"background frontend prefetch for frame "
+                        f"{self.frame_id} failed") from e
+            else:
+                frame = fut
         else:
             frame = self._dispatch_frontend(img_l, img_r)
         self._tic(t0, "frontend")
@@ -249,10 +263,16 @@ class System:
         return out
 
     def _dispatch_frontend(self, img_l, img_r):
-        from .frontend import process_stereo_stacked
+        from .frontend import process_stereo_fisheye, process_stereo_stacked
         stacked = np.stack([
             np.clip(np.asarray(img_l), 0, 255).astype(np.uint8),
             np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)])
+        if self.calib.is_fisheye_stereo:
+            # unrectified KB8 pair (ref Frame fisheye ctor): lapping-area
+            # matching + two-view triangulation instead of row-aligned
+            # rectified stereo
+            return process_stereo_fisheye(jnp.asarray(stacked),
+                                          self.calib, self.orb)
         return process_stereo_stacked(jnp.asarray(stacked),
                                       self.calib, self.orb)
 
@@ -387,6 +407,7 @@ class System:
             if n_valid > 100:
                 self._mono_init_frame = frame
                 self._mono_init_ts = timestamp
+                self._mono_init_fid = self.frame_id
             self._record(timestamp, lost=True)
             return
         f0 = self._mono_init_frame
@@ -395,6 +416,8 @@ class System:
                                max_dist=matching_TH_LOW(), nn_ratio=0.9)
         if int(mm.n_matches) < 100:
             self._mono_init_frame = frame if n_valid > 100 else None
+            self._mono_init_ts = timestamp
+            self._mono_init_fid = self.frame_id
             self._record(timestamp, lost=True)
             return
         has = mm.idx_b >= 0
@@ -444,7 +467,9 @@ class System:
                 self.ms, jnp.asarray(slot), R_, t_, fr.feats.xy,
                 fr.feats.octave, fr.feats.desc, fr.u_right, fr.depth,
                 fr.feats.valid, jnp.asarray(obs),
-                jnp.asarray(self.frame_id - (1 if slot == kf0 else 0)),
+                jnp.asarray(getattr(self, "_mono_init_fid",
+                                    self.frame_id - 1)
+                            if slot == kf0 else self.frame_id),
                 kf_ord=jnp.asarray(
                     self.kf_ord + (0 if slot == kf0 else 1)),
                 angle=fr.feats.angle)
@@ -469,14 +494,33 @@ class System:
             angle=f0.feats.angle[jnp.asarray(sel)])
         self.kf_ord += 2
         self.kf_order += [kf0, kf1]
+        if self.kf_db is not None:
+            self.kf_db.set_row(kf0, f0.feats.desc, f0.feats.valid)
+            self.kf_db.set_row(kf1, frame.feats.desc, frame.feats.valid)
         if self.cfg.use_imu:
-            # keep the per-KF IMU bookkeeping aligned (mono-inertial: the
-            # kf0->kf1 interval rows are not tracked through two-view init;
-            # an empty segment is masked out of the inertial chain)
-            self._kf_times += [timestamp - 1.0 / max(self.calib.fps, 1.0),
+            # keep the per-KF IMU bookkeeping aligned. The kf0->kf1
+            # interval's real IMU rows are recovered from the accumulator
+            # (rows tagged (fid0, fid1] span exactly the init baseline);
+            # rows from before f0 are dropped, rows after kf1 stay queued
+            # for the next keyframe's segment — without this split the
+            # first post-init segment held ALL rows since frame 0 while
+            # its pose interval spanned one keyframe gap, corrupting the
+            # preintegration chain that feeds inertial_init (ref
+            # Tracking::PreintegrateIMU keeps per-frame alignment,
+            # src/Tracking.cc:1613).
+            fid0 = getattr(self, "_mono_init_fid", self.frame_id - 1)
+            seg01 = [r for f, r in self._imu_accum
+                     if fid0 < f <= self.frame_id]
+            self._imu_accum = [(f, r) for f, r in self._imu_accum
+                               if f > self.frame_id]
+            self._kf_times += [self._mono_init_ts
+                               if self._mono_init_ts is not None
+                               else timestamp - 1.0 / max(self.calib.fps,
+                                                          1.0),
                                timestamp]
             self._kf_imu_segments += [np.zeros((0, 7), np.float32),
-                                      np.zeros((0, 7), np.float32)]
+                                      np.concatenate(seg01) if seg01
+                                      else np.zeros((0, 7), np.float32)]
         self.n_mp += n_new
         self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
@@ -579,6 +623,10 @@ class System:
         self._flush_pipeline()
         if self._sparsifier is not None:
             self._sparsifier.finish()
+        if self._prefetch_pool is not None:
+            self._prefetch_pool.shutdown(wait=False, cancel_futures=True)
+            self._prefetch_pool = None
+            self._prefetched_frame = None
 
     # ------------------------------------------------------------------
     # trajectory export (ref System::SaveTrajectoryKITTI :890 / TUM :516)
@@ -695,6 +743,8 @@ class System:
         self.n_mp += int(n_new)
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
+        if self.kf_db is not None:
+            self.kf_db.set_row(kf_slot, frame.feats.desc, frame.feats.valid)
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, dtype=np.float32)
         self._ref_pose_np = (self.last_R, self.last_t)
@@ -812,7 +862,8 @@ class System:
             self._integrate_kf_info(pend[0], np.asarray(fetched[-1]))
             fetched = fetched[:n]
         self._tic(tf, "stats_fetch")
-        for fl, pk in zip(fls, fetched):
+        for i, (fl, pk) in enumerate(zip(fls, fetched)):
+            gen = self._state_gen
             if self.state == OK:
                 self._complete_one(fl=fl, packed=np.asarray(pk))
             else:
@@ -821,6 +872,23 @@ class System:
                 # for still-in-flight frames)
                 self._track_lost(fl.frame, fl.timestamp,
                                  frame_id=fl.frame_id)
+            if self._state_gen != gen and i + 1 < len(fls):
+                # a state-invalidating event fired while completing this
+                # frame (map rescale, relocalization, loop correction):
+                # the remaining popped frames' fetched stats are stale —
+                # re-dispatch them (merged in order with anything
+                # _redispatch_inflight already re-queued) instead of
+                # integrating pre-event poses into the trajectory
+                rest = fls[i + 1:] + list(self._inflight)
+                rest.sort(key=lambda s: s.frame_id)
+                self._inflight.clear()
+                saved_fid = self.frame_id
+                for s in rest:
+                    self.frame_id = s.frame_id
+                    self._imu_frame_rows = None
+                    self._dispatch_track(s.frame, s.timestamp)
+                self.frame_id = saved_fid
+                break
 
     def _complete_one(self, fl: Optional[InFlight] = None,
                       packed: Optional[np.ndarray] = None):
@@ -1028,11 +1096,15 @@ class System:
             self.last_t = T[:3, 3].astype(np.float32)
         self._Rt_dev = None
 
+    _state_gen = 0
+
     def _redispatch_inflight(self):
         """Re-run newer in-flight frames after an event that invalidated
         their inputs (relocalization, loop correction, map switch). Their
         device stat updates are benign; the track just reruns from the
-        corrected pose."""
+        corrected pose. The generation bump lets _complete_batch detect
+        the event for frames it had already popped."""
+        self._state_gen += 1
         stale = list(self._inflight)
         self._inflight.clear()
         saved_fid = self.frame_id
@@ -1150,13 +1222,15 @@ class System:
         # descent) and the VI window BA refines poses/velocities/biases +
         # landmarks on top of it. Measured on the synthetic arc + orbit
         # worlds this composition dominates either solver alone.
+        cullable, red_th = self._cull_policy()
         ko = mo.keyframe_step(
             self.ms, self.calib, self.orb, jnp.asarray(slot), frame,
             out.R, out.t, out.matched_mp, jnp.asarray(self.kf_ord),
             jnp.asarray(frame_id), jnp.asarray(self.calib.th_depth),
             n_tri=cfg.n_triangulate_neighbors, window_kf=cfg.map.window_kf,
             n_fixed=cfg.n_fixed_cams, pt_cap=cfg.map.local_mp_cap,
-            ba_iters=cfg.ba_iters)
+            ba_iters=cfg.ba_iters,
+            cullable=cullable, red_th=red_th)
         self.ms = ko.ms
         self.kf_ord += 1
         self.kf_order.append(slot)
@@ -1166,6 +1240,11 @@ class System:
         # points) becomes the motion-model candidate set for the next
         # dispatched frame (ref Tracking::UpdateLastFrame VO points)
         self.last_matched = self.ms.obs_mp[slot]
+        if self.kf_db is not None:
+            # BoW row at creation (ref LocalMapping::ProcessNewKeyFrame
+            # ComputeBoW) — the loop query's covisible floor and the
+            # tf-idf retrieval read stored rows, never re-encode
+            self.kf_db.set_row(slot, frame.feats.desc, frame.feats.valid)
         if R_np is not None:
             # the keyframe's dispatch-time pose IS the tracked pose; the
             # BA-refined pose arrives with the deferred info next frame
@@ -1290,7 +1369,9 @@ class System:
         optimization -> widening projection refinement."""
         f = frame.feats
         if self.kf_db is not None and self.kf_db.present.any():
-            cands, _ = self.kf_db.query_brute(
+            # tf-idf matvec shortlist + exact rescoring of the shortlist
+            # only (query cost independent of database size)
+            cands, _ = self.kf_db.query_rescored(
                 self.ms.kp_desc, self.ms.kp_valid, f.desc, f.valid, k=5)
         elif self.n_kf > 0:
             # no database: brute appearance sweep over all valid keyframes
@@ -1327,6 +1408,14 @@ class System:
         if int(ref.n_inliers) >= int(out.n_inliers):
             out = ref
         self.ref_kf = c
+        # cross-map hit: tracking continues in the matched keyframe's map,
+        # so the Atlas active-map label must follow (ref scopes candidates
+        # per map — DetectRelocalizationCandidates(F, pMap),
+        # include/KeyFrameDatabase.h:79 — and never relocalizes across
+        # maps; we allow it but keep kf_maps/active_map coherent so the
+        # inertial chain and a later merge reason over a correct boundary)
+        if c < len(self.kf_maps) and self.kf_maps[c] != self.active_map:
+            self.active_map = self.kf_maps[c]
         self.vel = None
         return out
 
@@ -1334,16 +1423,45 @@ class System:
     # local mapping stage (ref LocalMapping::Run body)
     # ------------------------------------------------------------------
 
+    def _cull_policy(self):
+        """Inertial keyframe-culling protections (ref
+        LocalMapping::KeyFrameCulling, src/LocalMapping.cc:935-941 +
+        :1040-1062): redundancy bar 0.5 in stereo-inertial (0.9 visual /
+        mono-inertial); a keyframe may only be culled when the whole map
+        holds more than Nd keyframes, it is older than the last 2, it has
+        temporal neighbors, and removing it keeps the merged
+        preintegration gap under 0.5s (3s once the IMU is initialized and
+        it is outside the Nd-keyframe optimizable window)."""
+        cfg = self.cfg
+        if not cfg.use_imu:
+            return None, 0.9
+        K = cfg.map.max_kf
+        cullable = np.zeros(K, bool)
+        n = len(self.kf_order)
+        nd = cfg.imu_protect_nd
+        if n > nd:
+            t = self._kf_times
+            for j in range(1, min(n - 2, len(t) - 1)):
+                gap = t[j + 1] - t[j - 1]
+                older = j < n - nd
+                if (self.imu_initialized and older and gap < 3.0) \
+                        or gap < 0.5:
+                    cullable[self.kf_order[j]] = True
+        red_th = 0.5 if (self.calib.bf or 0.0) > 0.0 else 0.9
+        return jnp.asarray(cullable), red_th
+
     def _local_mapping(self, kf_slot: int):
         cfg = self.cfg
         Wk = cfg.map.window_kf
         t0 = time.perf_counter()
+        cullable, red_th = self._cull_policy()
         out = mo.mapping_step(
             self.ms, self.calib, self.orb, jnp.asarray(kf_slot),
             jnp.asarray(self.kf_ord),
             n_tri=cfg.n_triangulate_neighbors,
             window_kf=cfg.map.window_kf, n_fixed=cfg.n_fixed_cams,
-            pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters)
+            pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters,
+            cullable=cullable, red_th=red_th)
         self.ms = out.ms
         info = np.asarray(out.info)   # the one per-keyframe fetch
         self.n_mp += int(info[0])

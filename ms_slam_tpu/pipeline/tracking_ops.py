@@ -28,16 +28,21 @@ class TrackOut(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("calib", "orb_cfg"))
+@partial(jax.jit, static_argnames=("calib", "orb_cfg", "rotation_gate"))
 def track_points(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                  frame: FrameData, R0: jnp.ndarray, t0: jnp.ndarray,
                  pt_idx: jnp.ndarray, pt_valid: jnp.ndarray,
-                 th_radius: jnp.ndarray, nn_ratio: jnp.ndarray) -> TrackOut:
+                 th_radius: jnp.ndarray, nn_ratio: jnp.ndarray,
+                 rotation_gate: bool = True) -> TrackOut:
     """Project the given candidate map points into the frame, associate, and
     optimize the pose (ref SearchByProjection + PoseOptimization).
 
     pt_idx/pt_valid: fixed-capacity candidate buffer (local map or last
-    frame's points).
+    frame's points). rotation_gate: apply the rotation-histogram check —
+    the reference uses it in the last-frame/reloc variants
+    (ORBmatcher.cc:1941/:2154) but NOT in track-local-map (:43); the
+    point-side angle is refreshed on every successful track (see
+    update_point_stats) so the deltas stay clustered under roll.
     """
     params = calib.params_array()
     f = frame.feats
@@ -49,7 +54,8 @@ def track_points(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         f.xy, f.octave, f.desc, f.valid,
         th_radius=th_radius, nn_ratio=nn_ratio,
         scale_factor=orb_cfg.scale_factor, n_levels=orb_cfg.n_levels,
-        pt_angle=ms.mp_angle[pt_idx], f_angle=f.angle)
+        pt_angle=ms.mp_angle[pt_idx] if rotation_gate else None,
+        f_angle=f.angle if rotation_gate else None)
 
     mp_of_feat = jnp.where(pm.mp_slot >= 0,
                            pt_idx[jnp.clip(pm.mp_slot, 0)], -1).astype(jnp.int32)
@@ -179,8 +185,10 @@ def _track_core(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     lmask = M.local_map_mask(ms, lk_idx, lk_mask)
     l_idx, l_valid = M.gather_local_points(ms, lmask, local_cap)
     out4 = track_points(ms, calib, orb_cfg, frame, out3.R, out3.t,
-                        l_idx, l_valid, jnp.asarray(1.0), jnp.asarray(0.8))
-    ms = update_point_stats(ms, l_idx, l_valid, out4.matched_mp)
+                        l_idx, l_valid, jnp.asarray(1.0), jnp.asarray(0.8),
+                        rotation_gate=False)
+    ms = update_point_stats(ms, l_idx, l_valid, out4.matched_mp,
+                            f_angle=frame.feats.angle)
     n_ct, n_cu = count_trackable_close(calib, frame, out4.matched_mp)
     # reference-keyframe matches for the keyframe decision, evaluated at
     # DECISION time like the reference (KeyFrame::TrackedMapPoints(minObs=3)
@@ -338,12 +346,19 @@ def local_keyframes(ms: M.MapState, matched_mp: jnp.ndarray, k: int):
 
 @jax.jit
 def update_point_stats(ms: M.MapState, pt_idx: jnp.ndarray,
-                       visible: jnp.ndarray, matched_mp: jnp.ndarray):
+                       visible: jnp.ndarray, matched_mp: jnp.ndarray,
+                       f_angle: jnp.ndarray = None):
     """IncreaseVisible for frustum-passing candidates, IncreaseFound for
-    tracked inliers (ref Tracking::SearchLocalPoints/TrackLocalMap)."""
+    tracked inliers (ref Tracking::SearchLocalPoints/TrackLocalMap).
+    f_angle: per-feature orientations — matched points take the newest
+    observation's angle so the rotation-histogram delta in the
+    motion-model matcher stays clustered under accumulated roll."""
     ms = M.update_mp_stats(ms, pt_idx, visible, jnp.zeros_like(visible))
     found_idx = jnp.where(matched_mp >= 0, matched_mp, ms.mp_pos.shape[0])
     ms = ms._replace(mp_found=ms.mp_found.at[found_idx].add(1, mode="drop"))
+    if f_angle is not None:
+        ms = ms._replace(mp_angle=ms.mp_angle.at[found_idx].set(
+            f_angle, mode="drop"))
     return ms
 
 

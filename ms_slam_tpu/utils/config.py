@@ -88,8 +88,38 @@ class Settings:
         fps = float(g("Camera.fps", default=10.0) or 10.0)
         # ThDepth is in units of baseline (ref: mThDepth = mbf*ThDepth/fx)
         th_depth_m = bf * th_depth / fx if bf > 0 else 1e9
+        # stereo-fisheye second camera (ref Settings::readCamera2 +
+        # Stereo.T_c1_c2 + Camera1/2.overlappingBegin/End,
+        # src/Settings.cc:263-333): two unrectified KB8 cameras
+        params2: tuple = ()
+        T_rl: tuple = ()
+        lapping: tuple = ()
+        if model == cameras.KB8 and "Camera2.fx" in self.flat:
+            params2 = (float(g("Camera2.fx")), float(g("Camera2.fy")),
+                       float(g("Camera2.cx")), float(g("Camera2.cy")),
+                       float(g("Camera2.k1", default=0.0)),
+                       float(g("Camera2.k2", default=0.0)),
+                       float(g("Camera2.k3", default=0.0)),
+                       float(g("Camera2.k4", default=0.0)))
+            import numpy as np
+            T12 = np.asarray(g("Stereo.T_c1_c2.data",
+                               "Stereo.T_c1_c2", required=True),
+                             np.float64).reshape(-1)[:16].reshape(4, 4)
+            # T_c1_c2 maps cam2 coords into cam1 coords; the frontend
+            # wants right-from-left = its inverse
+            T21 = np.linalg.inv(T12)
+            T_rl = tuple(float(v) for v in T21[:3, :4].reshape(-1))
+            lapping = (int(g("Camera1.overlappingBegin", default=0)),
+                       int(g("Camera1.overlappingEnd",
+                             default=width or 10 ** 6)),
+                       int(g("Camera2.overlappingBegin", default=0)),
+                       int(g("Camera2.overlappingEnd",
+                             default=width or 10 ** 6)))
+            if bf <= 0:
+                bf = float(np.linalg.norm(T12[:3, 3])) * fx
         return Calib(model=model, params=params, bf=bf, width=width,
-                     height=height, th_depth=th_depth_m, fps=fps)
+                     height=height, th_depth=th_depth_m, fps=fps,
+                     params2=params2, T_rl=T_rl, lapping=lapping)
 
     def orb(self, n_feat_cap: int | None = None) -> OrbConfig:
         g = self.get

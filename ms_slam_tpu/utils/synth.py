@@ -109,51 +109,6 @@ class PlaneWorld:
         return img, depth.astype(np.float32)
 
 
-class CorridorWorld:
-    """Street-canyon world: two textured side walls at x = +-half_w and a
-    floor at y = y_floor, infinite along +z — the KITTI-like geometry
-    profile (building facades + road) that a forward drive never exits.
-    Side walls seen obliquely give depth structure from ~2 m out to the
-    horizon in every frame."""
-
-    def __init__(self, rng, half_w=6.0, y_floor=1.7, tex_scale=0.03):
-        self.half_w = half_w
-        self.y_floor = y_floor
-        self.tex_left = mondrian_texture(rng)
-        self.tex_right = mondrian_texture(rng)
-        self.tex_floor = mondrian_texture(rng)
-        self.tex_scale = tex_scale
-
-    _sample = PlaneWorld._sample
-    render_stereo = PlaneWorld.render_stereo
-
-    def render(self, K: np.ndarray, T_wc: np.ndarray, h: int, w: int):
-        Rwc = T_wc[:3, :3]
-        Ow = T_wc[:3, 3]
-        us, vs = np.meshgrid(np.arange(w), np.arange(h))
-        rays_c = np.stack([(us - K[0, 2]) / K[0, 0],
-                           (vs - K[1, 2]) / K[1, 1],
-                           np.ones_like(us, np.float64)], axis=-1)
-        d = rays_c @ Rwc.T
-
-        img = np.zeros((h, w), np.float32)
-        depth = np.full((h, w), np.inf)
-        planes = ((0, -self.half_w, self.tex_left, (1, 2)),
-                  (0, self.half_w, self.tex_right, (1, 2)),
-                  (1, self.y_floor, self.tex_floor, (0, 2)))
-        for ax, val, tex, (a_ax, b_ax) in planes:
-            da = d[..., ax]
-            da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
-            t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
-            ok = t > 0.1
-            Xw = Ow[None, None, :] + t[..., None] * d
-            v = self._sample(tex, Xw[..., a_ax], Xw[..., b_ax])
-            use = ok & (t < depth)
-            img = np.where(use, v, img)
-            depth = np.where(use, t, depth)
-        return img.astype(np.float32)
-
-
 class BoxWorld:
     """Closed textured room: 4 walls + floor + ceiling, for loop-closure
     sequences (every viewing direction sees texture)."""
@@ -202,6 +157,26 @@ class BoxWorld:
         T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array([baseline, 0, 0])
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
 
+    def iter_planes(self):
+        return [(0, self.half, self.tex[0], (1, 2)),
+                (0, -self.half, self.tex[1], (1, 2)),
+                (2, self.half, self.tex[2], (0, 1)),
+                (2, -self.half, self.tex[3], (0, 1)),
+                (1, self.y_floor, self.tex[4], (0, 2)),
+                (1, self.y_ceil, self.tex[5], (0, 2))]
+
+    def render_fisheye_stereo(self, kb8_params, T_wc, baseline, h, w,
+                              kb8_params2=None):
+        """Unrectified fisheye pair: right camera displaced +x in the
+        left camera frame (pure-translation rig)."""
+        rays_l = kb8_rays(kb8_params, h, w)
+        rays_r = kb8_rays(kb8_params2 or kb8_params, h, w)
+        T_right = T_wc.copy()
+        T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array(
+            [baseline, 0, 0])
+        return (render_rays(self, rays_l, T_wc),
+                render_rays(self, rays_r, T_right))
+
 
 class CorridorWorld:
     """Infinite textured corridor along +z: side walls at x=+-half_w, floor
@@ -249,6 +224,48 @@ class CorridorWorld:
         T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array(
             [baseline, 0, 0])
         return self.render(K, T_wc, h, w), self.render(K, T_right, h, w)
+
+
+def kb8_rays(params, h: int, w: int):
+    """(h,w,3) z=1 bearings for a Kannala-Brandt8 camera (numpy Newton
+    inversion of the equidistant distortion — the renderer-side analog of
+    ops.cameras.kb8_unproject)."""
+    fx, fy, cx, cy, k0, k1, k2, k3 = params
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    mx = (us - cx) / fx
+    my = (vs - cy) / fy
+    theta_d = np.sqrt(mx * mx + my * my)
+    th = np.clip(theta_d, 0, np.pi / 2)
+    for _ in range(10):
+        t2 = th * th
+        f = th * (1 + t2 * (k0 + t2 * (k1 + t2 * (k2 + t2 * k3)))) - theta_d
+        df = 1 + t2 * (3 * k0 + t2 * (5 * k1 + t2 * (7 * k2 + 9 * t2 * k3)))
+        th = th - f / np.where(np.abs(df) > 1e-8, df, 1.0)
+    scale = np.where(theta_d > 1e-8, np.tan(th) / np.maximum(theta_d, 1e-8),
+                     1.0)
+    return np.stack([mx * scale, my * scale, np.ones_like(mx)], -1)
+
+
+def render_rays(world, rays_c, T_wc):
+    """Render any of the plane worlds through arbitrary per-pixel rays
+    (fisheye support). world must expose the same plane list logic as
+    BoxWorld/CorridorWorld via `iter_planes()`."""
+    Rwc = T_wc[:3, :3]
+    Ow = T_wc[:3, 3]
+    d = rays_c @ Rwc.T
+    h, w = rays_c.shape[:2]
+    img = np.zeros((h, w), np.float32)
+    depth = np.full((h, w), np.inf)
+    for ax, val, tex, (a_ax, b_ax) in world.iter_planes():
+        da = d[..., ax]
+        da_s = np.where(np.abs(da) > 1e-9, da, 1e-9)
+        t = np.where(np.abs(da) > 1e-9, (val - Ow[ax]) / da_s, -1)
+        ok = (t > 0.1) & (t < depth)
+        X = Ow[None, None, :] + t[..., None] * d
+        v = world._sample(tex, X[..., a_ax], X[..., b_ax])
+        img = np.where(ok, v, img)
+        depth = np.where(ok, t, depth)
+    return img.astype(np.float32)
 
 
 def make_imu(poses, frame_dt: float, imu_rate: int = 20, g=9.81):
@@ -302,6 +319,20 @@ def make_trajectory(n_frames: int, pattern: str = "arc"):
         if pattern == "arc":
             s = i / max(n_frames - 1, 1)
             T[:3, 3] = [2.5 * s, 0.3 * np.sin(2 * np.pi * s), 1.5 * s]
+            yaw = 0.25 * np.sin(2 * np.pi * s)
+            T[:3, :3] = Rotation.from_euler("y", yaw).as_matrix()
+        elif pattern == "arc_excited":
+            # arc + ~1 Hz accelerometer excitation (IMU-observability:
+            # the reference refuses inertial init below 0.5 m/s^2 of
+            # acceleration variation, src/Tracking.cc:2333-2337 — the
+            # plain arc peaks at ~0.25; this adds ~3-5 m/s^2 without
+            # meaningfully moving the image, assuming 10 fps frames)
+            s = i / max(n_frames - 1, 1)
+            t = 0.1 * i
+            T[:3, 3] = [2.5 * s + 0.08 * np.sin(2 * np.pi * 0.8 * t + 1.0),
+                        0.3 * np.sin(2 * np.pi * s)
+                        + 0.12 * np.sin(2 * np.pi * t),
+                        1.5 * s]
             yaw = 0.25 * np.sin(2 * np.pi * s)
             T[:3, :3] = Rotation.from_euler("y", yaw).as_matrix()
         elif pattern == "forward":

@@ -64,6 +64,63 @@ def test_new_map_and_merge(rng):
 
 
 @pytest.mark.slow
+def test_cross_map_relocalization_switches_active_map(rng):
+    """VERDICT r3 item 7: relocalizing onto a keyframe of ANOTHER map must
+    switch the Atlas active map (ref scopes reloc candidates per map —
+    DetectRelocalizationCandidates(F, pMap), include/KeyFrameDatabase.h:79;
+    we allow the cross-map hit but the kf_maps/active_map labels must stay
+    coherent so the inertial chain and merges reason over a correct
+    boundary)."""
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 45, fps=4.0)
+    cfg = SystemConfig(
+        calib=calib, orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=96, max_mp=12288, n_feat=512,
+                      local_mp_cap=2048, window_kf=6,
+                      grid_w=16, grid_h=12),
+        min_init_depth_points=100, max_frames_between_kf=3,
+        sparsify=True, sparsify_n=40, sparsify_window=4,
+        sparsify_queue_min=2, nonlocal_kf=3,
+        loop_closing=True, loop_covis_min=30,
+        t_recently_lost=0.3)
+    slam = System(cfg)
+    world = synth.BoxWorld(rng, half=7.0)
+    lap = synth.make_trajectory(80, "orbit")
+    black = np.zeros((H, W), np.float32)
+
+    # phase 1: map the first 30 poses (map 0; sparsified KFs enter the DB)
+    script = [(T, True) for T in lap[:30]]
+    # phase 2: 22 blind frames -> irrecoverable loss -> fresh map
+    script += [(lap[40], False)] * 22
+    # phase 3: unseen territory -> map 1 initializes and tracks
+    script += [(T, True) for T in lap[52:72]]
+    # phase 4: short blackout while "returning" to mapped territory
+    script += [(lap[10], False)] * 3
+    # phase 5: re-see map-0 territory -> cross-map relocalization
+    script += [(T, True) for T in lap[10:22]]
+
+    for i, (T_wc, visible) in enumerate(script):
+        if visible:
+            im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        else:
+            im_l = im_r = black
+        slam.track_stereo(im_l, im_r, 0.1 * i)
+    slam._flush_pipeline()
+
+    # a second map was created during the blind stretch...
+    assert max(slam.kf_maps) >= 1, slam.kf_maps
+    # ...and either the cross-map reloc switched back to map 0 or a merge
+    # relabeled map-1 keyframes into map 0 — in both cases the ACTIVE map
+    # label must agree with the newest keyframe's label
+    assert slam.state == "OK", slam.state
+    newest = slam.kf_order[-1]
+    assert slam.kf_maps[newest] == slam.active_map, (
+        slam.active_map, slam.kf_maps[newest])
+    assert slam.active_map == 0, (slam.active_map,
+                                  slam._loop_closer.stats)
+
+
+@pytest.mark.slow
 def test_recently_lost_bridges_short_blackout(rng):
     """A blackout shorter than t_recently_lost must be bridged by the
     RECENTLY_LOST grace window (pose extrapolation + reloc retries, ref

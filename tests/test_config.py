@@ -38,6 +38,21 @@ def test_parse_inertial_yaml():
     assert not Settings("configs/EuRoC.yaml").system_config().use_imu
 
 
+def test_parse_fisheye_yaml():
+    """Stereo-fisheye section (ref Settings::readCamera2 + Stereo.T_c1_c2
+    + overlapping columns, src/Settings.cc:263-333)."""
+    st = Settings("configs/TUM-VI-Fisheye.yaml")
+    calib = st.calib()
+    assert calib.model == 1                       # KB8
+    assert calib.is_fisheye_stereo
+    assert len(calib.params2) == 8
+    assert len(calib.T_rl) == 12
+    assert calib.lapping == (0, 511, 0, 511)
+    # baseline ~10.1 cm -> right-from-left translation x ~ -0.101
+    assert abs(calib.T_rl[3] + 0.101063) < 2e-3, calib.T_rl
+    assert calib.bf > 0
+
+
 def test_parse_all_shipped_configs():
     import glob
     for path in glob.glob("configs/*.yaml"):

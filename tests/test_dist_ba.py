@@ -38,14 +38,14 @@ def test_dist_matches_single(rng):
              jnp.asarray(f_ur), jnp.asarray(sigma2), jnp.asarray(f_valid))
 
     mesh = dist_ba.make_mesh(8)
-    R_d, t_d, P_d = dist_ba.dist_ba_solve(
+    R_d, t_d, P_d, _ = dist_ba.dist_ba_solve(
         mesh, cameras.PINHOLE, PIN, BF, *args, *fargs, n_iters=6)
 
     # reference: single-device ba_solve has a two-stage schedule, so compare
     # against a straight run of the same math by using dist solve on a
     # 1-device mesh
     mesh1 = dist_ba.make_mesh(1)
-    R_1, t_1, P_1 = dist_ba.dist_ba_solve(
+    R_1, t_1, P_1, _ = dist_ba.dist_ba_solve(
         mesh1, cameras.PINHOLE, PIN, BF, *args, *fargs, n_iters=6)
 
     np.testing.assert_allclose(R_d, R_1, atol=1e-8)

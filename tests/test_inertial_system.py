@@ -179,7 +179,10 @@ def test_mono_inertial_metric_scale(rng):
     slam = System(cfg)
     world = synth.PlaneWorld(rng, z_wall=14.0, y_floor=2.0)
     n_frames = 70
-    poses = synth.make_trajectory(n_frames, "arc")
+    # metric scale needs accelerometer excitation: the reference refuses
+    # inertial init below 0.5 m/s^2 acceleration variation
+    # (src/Tracking.cc:2333-2337); the excited arc provides ~3-5 m/s^2
+    poses = synth.make_trajectory(n_frames, "arc_excited")
     frame_dt = 0.1
     imu = synth.make_imu(poses, frame_dt, imu_rate=200)
     for i, T_wc in enumerate(poses):
@@ -200,14 +203,17 @@ def test_mono_inertial_metric_scale(rng):
     rows = slam.poses_wc()
     est_xyz = np.stack([T[:3, 3] for _, T in rows])
     gt_xyz = np.stack([gt_by_ts[round(ts, 6)][:3, 3] for ts, _ in rows])
-    # METRIC scale: compare travelled path length over the post-init span
-    # without any scale alignment
+    # METRIC scale: the Horn alignment scale between the estimate and the
+    # metric ground truth must be ~1 — the reference's own evaluation
+    # reports exactly this quantity (evaluate_ate_scale.py's 'scale'
+    # output; raw path-length ratios are biased upward by per-frame
+    # jitter and are not a scale instrument)
+    from ms_slam_tpu.utils.evaluate import horn_align
+    _, _, s_al, _ = horn_align(est_xyz.T, gt_xyz.T, True)
+    assert abs(s_al - 1.0) < 0.2, s_al
     half = len(rows) // 2
-    est_path = np.sum(np.linalg.norm(np.diff(est_xyz[half:], axis=0),
-                                     axis=1))
-    gt_path = np.sum(np.linalg.norm(np.diff(gt_xyz[half:], axis=0), axis=1))
-    assert abs(est_path / max(gt_path, 1e-9) - 1.0) < 0.2, (est_path,
-                                                            gt_path)
+    s_half = horn_align(est_xyz[half:].T, gt_xyz[half:].T, True)[2]
+    assert abs(s_half - 1.0) < 0.2, s_half
     # and the shape is right (scale-free ATE)
     path = np.sum(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1))
     rmse = ate_rmse(est_xyz, gt_xyz, with_scale=True)

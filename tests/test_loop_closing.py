@@ -67,10 +67,10 @@ class TestVocab:
             hits_tfidf += bool(c1 and c1[0] == k)
             hits_brute += bool(c2 and c2[0] == k)
         assert hits_brute >= 0.9 * P, hits_brute
-        # tf-idf quantizes through the 512-word codebook, so 10% bit flips
-        # move word assignments: lower bar for the non-production path
-        # (chance level here is 1/24)
-        assert hits_tfidf >= 0.75 * P, hits_tfidf
+        # tf-idf is now the PRIMARY retrieval path (VERDICT r3 item 6):
+        # multi-keyframe codebook training + top-2 soft assignment must
+        # hold >= 0.85 precision under this harsh revisit model
+        assert hits_tfidf >= 0.85 * P, hits_tfidf
 
 
 class TestSim3Ransac:
@@ -101,6 +101,106 @@ class TestSim3Ransac:
                             jnp.ones(32), with_scale=True)
         np.testing.assert_allclose(float(s), 1.7, atol=1e-9)
         np.testing.assert_allclose(R, R_true, atol=1e-9)
+
+
+class TestSim3GuidedVerification:
+    """VERDICT r3 item 4 done-criterion: a revisit with viewpoint change
+    where mutual-descriptor-only verification fails, but the Sim3-guided
+    projection search (ref ORBmatcher::SearchBySim3, src/ORBmatcher.cc:1718)
+    + iterative OptimizeSim3 (ref src/Optimizer.cc:1986) closes the loop."""
+
+    def _build(self, rng):
+        from ms_slam_tpu.models import map_state as M
+        from ms_slam_tpu.pipeline.frontend import Calib
+        from scipy.spatial.transform import Rotation
+
+        FXL, W, H = 260.0, 320, 240
+        N = 256
+        calib = Calib(model=0, params=(FXL, FXL, W / 2, H / 2),
+                      bf=FXL * 0.15, width=W, height=H,
+                      th_depth=6.0, fps=10.0)
+        cfg = M.MapConfig(max_kf=4, max_mp=512, n_feat=N)
+        ms = M.empty_map(cfg)
+
+        X = np.stack([rng.uniform(-4, 4, N), rng.uniform(-2.5, 2.5, N),
+                      rng.uniform(6, 12, N)], -1)
+        # keyframe a at origin; keyframe b strongly rotated + translated
+        R_b = Rotation.from_euler("y", 0.35).as_matrix()      # ~20 deg
+        t_b = np.array([-1.2, 0.1, 0.6])
+
+        def proj(Xc):
+            return np.stack([FXL * Xc[:, 0] / Xc[:, 2] + W / 2,
+                             FXL * Xc[:, 1] / Xc[:, 2] + H / 2], -1)
+
+        Xb = X @ R_b.T + t_b
+        xy_a, xy_b = proj(X), proj(Xb)
+        vis = ((X[:, 2] > 0.2) & (Xb[:, 2] > 0.2)
+               & (xy_a[:, 0] > 0) & (xy_a[:, 0] < W)
+               & (xy_a[:, 1] > 0) & (xy_a[:, 1] < H)
+               & (xy_b[:, 0] > 0) & (xy_b[:, 0] < W)
+               & (xy_b[:, 1] > 0) & (xy_b[:, 1] < H))
+
+        base = rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint32)
+        desc_b = base.copy()
+        # 75% of descriptors take heavy viewpoint damage (~70/256 bits:
+        # beyond TH_LOW=50, within TH_HIGH=100); 25% stay near-clean
+        heavy = rng.random(N) < 0.75
+        for frac, sel in ((70 / 256, heavy), (8 / 256, ~heavy)):
+            flip = rng.random((N, 8, 32)) < frac
+            m = np.zeros((N, 8), np.uint32)
+            for b in range(32):
+                m |= (flip[..., b].astype(np.uint32) << b)
+            desc_b[sel] ^= m[sel]
+
+        obs = np.arange(N, dtype=np.int32)
+        for k, (Rk, tk, xyk, dk) in enumerate((
+                (np.eye(3), np.zeros(3), xy_a, base),
+                (R_b, t_b, xy_b, desc_b))):
+            ms = M.insert_keyframe(
+                ms, jnp.asarray(k), jnp.asarray(Rk, jnp.float32),
+                jnp.asarray(tk, jnp.float32),
+                jnp.asarray(xyk, jnp.float32),
+                jnp.zeros(N, jnp.int32), jnp.asarray(dk),
+                jnp.full(N, -1.0), jnp.full(N, -1.0),
+                jnp.asarray(vis), jnp.asarray(np.where(vis, obs, -1)),
+                jnp.asarray(k))
+        ms = M.add_map_points(
+            ms, jnp.arange(N), jnp.asarray(vis),
+            jnp.asarray(X, jnp.float32), jnp.asarray(base),
+            jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 100.0),
+            jnp.zeros(N, jnp.int32))
+        return ms, calib, R_b, t_b, vis
+
+    def test_guided_path_verifies_where_mutual_fails(self, rng):
+        from ms_slam_tpu.ops import matching
+        from ms_slam_tpu.pipeline.loop_closing import (_verify_pair_impl,
+                                                       MIN_RANSAC_INLIERS)
+
+        ms, calib, R_b, t_b, vis = self._build(rng)
+        # mutual-only baseline: the TH_LOW/ratio matcher keeps only the
+        # near-clean quarter
+        mm = matching.mutual_match(
+            ms.kp_desc[0], ms.kp_valid[0], ms.kp_desc[1], ms.kp_valid[1],
+            max_dist=matching.TH_LOW, nn_ratio=0.75)
+        n_mutual = int(mm.n_matches)
+        n_vis = int(vis.sum())
+        assert n_mutual < 0.45 * n_vis, (n_mutual, n_vis)
+
+        n_inl, s, R, t = jax.device_get(_verify_pair_impl(
+            ms, calib, jnp.asarray(0), jnp.asarray(1),
+            jax.random.PRNGKey(5), with_scale=False))
+        # guided harvest must go well beyond the mutual set...
+        assert int(n_inl) >= MIN_RANSAC_INLIERS
+        assert int(n_inl) > 1.5 * n_mutual, (int(n_inl), n_mutual)
+        assert int(n_inl) > 0.7 * n_vis, (int(n_inl), n_vis)
+        # ...and the refined S12 (maps cam-b coords into cam-a coords,
+        # i.e. T_a_b = T_aw * T_wb = inv(T_b)) must be accurate
+        T_ab_R = R_b.T
+        T_ab_t = -R_b.T @ t_b
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(R) @ T_ab_R.T) - 1) / 2, -1, 1)))
+        assert rot_err < 0.5, rot_err
+        assert np.linalg.norm(np.asarray(t) - T_ab_t) < 0.05, (t, T_ab_t)
 
 
 @pytest.mark.slow
