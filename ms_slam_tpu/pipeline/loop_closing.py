@@ -463,6 +463,7 @@ class LoopCloser:
             ms, jnp.arange(ms.kf_valid.shape[0]), jnp.asarray(msel))
         c_idx, c_valid = M.gather_local_points(
             ms, cand_mask, sys.cfg.map.local_mp_cap)
+        sys._obs_dirty = True
         sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
                                    jnp.asarray(cur), c_idx, c_valid)
 
@@ -490,7 +491,17 @@ class LoopCloser:
         e_i.append(cur)
         e_j.append(match)
         e_w.append(20.0)                          # the loop edge
-        E = len(e_i)
+        # pad the edge tables to a power-of-two bucket: exact-length edge
+        # arrays made every correction recompile all three pose-graph
+        # programs (multi-second stall each) — bucketed shapes compile once
+        n_live = len(e_i)
+        E = max(256, 1 << (n_live - 1).bit_length())
+        pad = E - n_live
+        e_i += [0] * pad
+        e_j += [0] * pad
+        e_w += [0.0] * pad
+        e_mask = np.zeros(E, bool)
+        e_mask[:n_live] = True
         ei_d = jnp.asarray(e_i, jnp.int32)
         ej_d = jnp.asarray(e_j, jnp.int32)
         # all edge measurements in ONE batched device call (was a Python
@@ -510,7 +521,7 @@ class LoopCloser:
                 jnp.asarray(e_j, dtype=jnp.int32),
                 jnp.ones(E, ms.kf_t.dtype), jnp.asarray(eR),
                 jnp.asarray(et),
-                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.asarray(e_mask),
                 n_iters=10)
             sys.ms = _apply_sim3_graph(ms, old_R, old_t,
                                        res7.s, res7.R, res7.t)
@@ -525,7 +536,7 @@ class LoopCloser:
                 jnp.asarray(e_i, dtype=jnp.int32),
                 jnp.asarray(e_j, dtype=jnp.int32),
                 jnp.asarray(eR), jnp.asarray(et),
-                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.asarray(e_mask),
                 n_iters=10)
             ms = ms._replace(kf_R=res4.R, kf_t=res4.t)
             sys.ms = _reanchor_points(ms, old_R, old_t)
@@ -535,7 +546,7 @@ class LoopCloser:
                 jnp.asarray(e_i, dtype=jnp.int32),
                 jnp.asarray(e_j, dtype=jnp.int32),
                 jnp.asarray(eR), jnp.asarray(et),
-                jnp.asarray(e_w, dtype=jnp.float32), jnp.ones(E, bool),
+                jnp.asarray(e_w, dtype=jnp.float32), jnp.asarray(e_mask),
                 n_iters=10)
             ms = ms._replace(kf_R=res.R, kf_t=res.t)
             sys.ms = _reanchor_points(ms, old_R, old_t)

@@ -228,6 +228,7 @@ class Sparsifier:
             pt_cap=sys.cfg.map.local_mp_cap * 2,
             n_outkf=8)
         sys.ms = out.ms
+        sys._obs_dirty = True
         self.done.update(batch)
         self.stats["windows"] += 1
         # the counters ride back asynchronously — a synchronous int() here

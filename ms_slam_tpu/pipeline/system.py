@@ -43,6 +43,11 @@ def _delete_one_kf(ms: M.MapState, slot: jnp.ndarray) -> M.MapState:
     return M.delete_keyframes(ms, mask)
 
 
+@jax.jit
+def _mp_obs_count_jit(ms: M.MapState) -> jnp.ndarray:
+    return M.mp_obs_count(ms)
+
+
 def matching_TH_LOW():
     from ..ops.matching import TH_LOW
     return TH_LOW
@@ -142,6 +147,11 @@ class System:
         self.calib = cfg.calib
         self.orb = cfg.orb
         self.ms = M.empty_map(cfg.map)
+        # cached per-point observation counts (device): the obs graph only
+        # changes at keyframe rate, so track_full reads this table instead
+        # of re-scattering 262k obs entries every frame (~1.5 ms on v5e)
+        self._n_obs_dev = None
+        self._obs_dirty = True
         self.n_kf = 0            # keyframe-pool high-water mark
         self.kf_ord = 0          # total keyframes ever created (monotonic)
         self.kf_free: list[int] = []   # recycled keyframe slots
@@ -262,11 +272,16 @@ class System:
         self._next_images = None
         return out
 
+    @staticmethod
+    def _as_uint8(img):
+        a = np.asarray(img)
+        if a.dtype == np.uint8:
+            return a            # no per-frame clip/astype copies (2-CPU host)
+        return np.clip(a, 0, 255).astype(np.uint8)
+
     def _dispatch_frontend(self, img_l, img_r):
         from .frontend import process_stereo_fisheye, process_stereo_stacked
-        stacked = np.stack([
-            np.clip(np.asarray(img_l), 0, 255).astype(np.uint8),
-            np.clip(np.asarray(img_r), 0, 255).astype(np.uint8)])
+        stacked = np.stack([self._as_uint8(img_l), self._as_uint8(img_r)])
         if self.calib.is_fisheye_stereo:
             # unrectified KB8 pair (ref Frame fisheye ctor): lapping-area
             # matching + two-view triangulation instead of row-aligned
@@ -330,7 +345,7 @@ class System:
         from .frontend import process_rgbd
         self.frame_id += 1
         t0 = time.perf_counter()
-        img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        img = self._as_uint8(img)
         frame = process_rgbd(jnp.asarray(img),
                              jnp.asarray(depth, jnp.float32),
                              self.calib, self.orb)
@@ -344,7 +359,7 @@ class System:
         from .frontend import process_mono
         self.frame_id += 1
         t0 = time.perf_counter()
-        img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        img = self._as_uint8(img)
         frame = process_mono(jnp.asarray(img), self.calib, self.orb)
         self._tic(t0, "frontend")
         return self._advance(frame, timestamp,
@@ -529,6 +544,7 @@ class System:
         self.last_matched = self.ms.obs_mp[kf1]
         self.n_inliers_ref = n_new
         self.state = OK
+        self._obs_dirty = True
         self._mono_init_frame = None
         self._Rt_dev = None
         self._Rt_dev2 = None
@@ -751,6 +767,7 @@ class System:
         self.last_matched = self.ms.obs_mp[kf_slot]
         self.n_inliers_ref = n_depth
         self.state = OK
+        self._obs_dirty = True
         self._Rt_dev = None
         self._Rt_dev2 = None
         self._has_vel = False
@@ -778,6 +795,10 @@ class System:
         last_matched = self.last_matched
         if last_matched is None:
             last_matched = jnp.full((cfg.map.n_feat,), -1, jnp.int32)
+        if (self._obs_dirty or self._n_obs_dev is None
+                or os.environ.get("MSSLAM_OBS_EVERY_FRAME")):
+            self._n_obs_dev = _mp_obs_count_jit(self.ms)
+            self._obs_dirty = False
         if self._Rt_dev is None:
             self._Rt_dev = (jnp.asarray(self.last_R, jnp.float32),
                             jnp.asarray(self.last_t, jnp.float32))
@@ -802,7 +823,7 @@ class System:
                 jnp.asarray(self.Tbc[:3, :3], jnp.float32),
                 jnp.asarray(self.Tbc[:3, 3], jnp.float32),
                 last_matched, self._dev_scalar("ref_kf", self.ref_kf),
-                cfg.map.local_mp_cap)
+                cfg.map.local_mp_cap, self._n_obs_dev)
             self._v_dev, self._bias_dev = out.v, out.bias
         else:
             R_l2, t_l2 = (self._Rt_dev2 if self._Rt_dev2 is not None
@@ -811,7 +832,7 @@ class System:
                 self.ms, self.calib, self.orb, frame, R_last, t_last,
                 R_l2, t_l2, self._dev_scalar("has_vel", self._has_vel),
                 last_matched, self._dev_scalar("ref_kf", self.ref_kf),
-                cfg.map.local_mp_cap)
+                cfg.map.local_mp_cap, self._n_obs_dev)
         self.ms = out.ms                # input ms was donated
         try:
             out.stats.copy_to_host_async()
@@ -1181,6 +1202,7 @@ class System:
             if s in keep:
                 continue
             self.ms = _delete_one_kf(self.ms, jnp.asarray(s))
+            self._obs_dirty = True
             self._free_keyframes([s])
             if self.kf_db is not None:
                 self.kf_db.erase(s)
@@ -1232,6 +1254,7 @@ class System:
             ba_iters=cfg.ba_iters,
             cullable=cullable, red_th=red_th)
         self.ms = ko.ms
+        self._obs_dirty = True
         self.kf_ord += 1
         self.kf_order.append(slot)
         self.ref_kf = slot

@@ -159,7 +159,8 @@ def _predict_const_velocity(R_last, t_last, R_last2, t_last2, has_vel):
 
 def _track_core(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                 frame: FrameData, R0, t0, R_last, t_last,
-                last_matched, ref_kf, local_cap: int):
+                last_matched, ref_kf, local_cap: int,
+                n_obs_all=None):
     """Shared association cascade: motion-model matching (+ widened retry +
     appearance fallback via lax.cond), then local-map tracking. Returns
     (ms, out4, stats_i, local buffers) — the per-frame tracking compute of
@@ -194,7 +195,11 @@ def _track_core(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     # DECISION time like the reference (KeyFrame::TrackedMapPoints(minObs=3)
     # on mpReferenceKF = best covisible KF, src/Tracking.cc:3071-3075)
     best_kf = lk_idx[0]
-    n_obs_all = M.mp_obs_count(ms)
+    if n_obs_all is None:
+        # fallback: recompute in-kernel (a 262k scatter-add, ~1.5 ms on
+        # v5e); the system passes a cached table refreshed at keyframe
+        # rate instead — the observation graph only changes there
+        n_obs_all = M.mp_obs_count(ms)
     ref_row = ms.obs_mp[best_kf]
     n_ref = jnp.sum((ref_row >= 0)
                     & (n_obs_all[jnp.clip(ref_row, 0)] >= 3)
@@ -225,7 +230,7 @@ def track_full(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                R_last2: jnp.ndarray, t_last2: jnp.ndarray,
                has_vel: jnp.ndarray,
                last_matched: jnp.ndarray, ref_kf: jnp.ndarray,
-               local_cap: int) -> TrackFullOut:
+               local_cap: int, n_obs_all: jnp.ndarray = None) -> TrackFullOut:
     """The entire per-frame tracking compute as one fused device call:
     constant-velocity prediction, motion-model association (+ widened retry
     + appearance fallback, both as lax.cond so the hot path costs nothing
@@ -239,7 +244,7 @@ def track_full(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                                      has_vel)
     ms, out4, stats_i, best_kf = _track_core(
         ms, calib, orb_cfg, frame, R0, t0, R_last, t_last, last_matched,
-        ref_kf, local_cap)
+        ref_kf, local_cap, n_obs_all)
     packed = _pack_stats(ms, out4.R, out4.t, stats_i, best_kf)
     return TrackFullOut(ms=ms, R=out4.R, t=out4.t,
                         matched_mp=out4.matched_mp, stats=packed)
@@ -254,7 +259,8 @@ def track_full_imu(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                    gravity: jnp.ndarray, noise: jnp.ndarray,
                    R_bc: jnp.ndarray, t_bc: jnp.ndarray,
                    last_matched: jnp.ndarray, ref_kf: jnp.ndarray,
-                   local_cap: int) -> TrackFullOut:
+                   local_cap: int,
+                   n_obs_all: jnp.ndarray = None) -> TrackFullOut:
     """Inertial tracking step, fused: preintegrate the frame's IMU rows,
     predict the pose from the last body state (ref Tracking::PredictStateIMU,
     src/Tracking.cc:1727), run the association cascade, then refine
@@ -293,7 +299,7 @@ def track_full_imu(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
 
     ms, out4, stats_i, best_kf = _track_core(
         ms, calib, orb_cfg, frame, R0, t0, R_last, t_last, last_matched,
-        ref_kf, local_cap)
+        ref_kf, local_cap, n_obs_all)
 
     # joint [T_wb, v, bg, ba] refinement seeded at the visual solution
     R_wc4 = out4.R.T

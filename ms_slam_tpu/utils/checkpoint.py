@@ -87,6 +87,7 @@ def load_map(path: str, system) -> None:
     fields = {k[3:]: jnp.asarray(v) for k, v in data.items()
               if k.startswith("ms_")}
     system.ms = MapState(**fields)
+    system._obs_dirty = True
     system.n_kf = meta["n_kf"]
     system.n_mp = meta["n_mp"]
     system.kf_ord = meta.get("kf_ord", meta["n_kf"])

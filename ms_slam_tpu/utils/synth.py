@@ -184,11 +184,18 @@ class CorridorWorld:
     run (KITTI-street analog for long-sequence tests)."""
 
     def __init__(self, rng, half_w=3.0, y_floor=1.6, y_ceil=-2.2,
-                 tex_scale=0.05):
+                 tex_scale=0.05, tex_size=4096):
         self.half_w = half_w
         self.y_floor = y_floor
         self.y_ceil = y_ceil
-        self.tex = [mondrian_texture(rng) for _ in range(4)]
+        # big texture: the sampler tiles with period tex_size * tex_scale
+        # (204.8 m at the defaults) — long forward runs must NOT revisit
+        # identical wall appearance, or place recognition correctly
+        # "closes" a loop on the exact repeat (perceptual aliasing by
+        # construction, which no appearance-based system can reject)
+        self.tex = [mondrian_texture(rng, size=tex_size,
+                                     n_rects=400 * (tex_size // 768) ** 2)
+                    for _ in range(4)]
         self.tex_scale = tex_scale
 
     def _sample(self, tex, a, b):
