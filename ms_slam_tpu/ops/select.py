@@ -13,26 +13,54 @@ binary x_p per map point observed in a window of keyframes;
        MapSparsification.cc:125-151):
                                sum_{p in o} x_p + th_o >= ceil(ratio_o * N)
 
-TPU formulation: because every constraint is a sum over *observations* (each
-observation belongs to exactly one KF and one grid cell), the LP relaxation
-is solved by projected dual ascent where every iteration is two
-scatter/gather passes over the observation table — no constraint matrix is
-ever materialized:
+Crucially BOTH constraint families are slack-priced, not hard: the ILP
+freely pays lambda_grid (=10) to leave a cell uncovered whenever every
+covering point would cost more, and pays lambda per unit of keyframe
+shortfall (lambda=500 >> point costs makes the KF constraints effectively
+hard in practice, but the cell constraints bind only for cheap points).
 
-  score_p = sum_{obs of p} (y_kf(obs) + y_cell(obs));  x_p = [score_p > cost_p]
-  y_c    <- clip(y_c + eta (req_c - cover_c), 0, price_c)
+TPU formulation, three stages, all batched scatter/gather over the
+observation table (no constraint matrix is ever materialized):
 
-(the slack variables bound the duals: th_k costs lambda, so y_k <= lambda).
-Selection = LP rounding UNION per-KF top-up to N UNION per-cell argmax —
-the repair step makes the output feasible whenever the constraints are
-satisfiable, which is the regime the reference operates in (lambda >> point
-costs). Quality vs the exact ILP is asserted in tests (scipy HiGHS).
+1. LP relaxation by projected dual ascent. Every constraint is a sum over
+   observations (each observation belongs to exactly one KF row and one
+   grid cell), so one iteration is two scatter/gather passes:
+
+     score_p = sum_{obs of p} (y_kf(obs) + y_cell(obs));  x_p = [score > cost]
+     y_c    <- clip(y_c + eta_t * viol_c, 0, price_c)
+
+   Optimal duals live at the scale of the POINT COSTS divided by the
+   observation multiplicity — not at the slack price lambda — so step
+   sizes derive from max(cost) and keyframe violations are normalized by
+   their requirement. Iterates oscillate around the optimum; the duals
+   used for rounding are the running average of the second half.
+
+2. Feasibility repair: per-KF top-up to the requirement (LP-selected
+   observations first, then cheapest points), then PRICE-AWARE cell
+   repair — a still-uncovered occupied cell is covered by its cheapest
+   observation only when that point costs less than lambda_grid (the
+   ILP's own trade-off); otherwise the slack is paid, exactly as the
+   reference solver does.
+
+3. Batched safe-prune to near-optimality: the union repair overshoots,
+   so iterate rounds that drop every point whose cost exceeds its
+   marginal penalty, subject to joint-safety caps — per keyframe row at
+   most `slack` observations drop per round (ranked by gain), and per
+   priced cell at most one non-sole cover drops per round (a sole cover
+   may drop when its gain already pays the lambda_grid slack). Each
+   round is O(K*N) vectorized work; unlike a scalar greedy loop this
+   scales to reference windows (K~38 rows, N=2048, thousands of points).
+
+Selection quality vs the exact ILP (scipy HiGHS stands in for GUROBI) is
+asserted in tests, including a full reference-scale instance.
 
 Input layout (static shapes): the window's observation table
   obs_pt   (K, N) int32   dense point slot (0..P-1) or -1
-  obs_cell (K, N) int32   grid cell id of the feature (0..G-1)
-plus out-of-window observer rows in the same layout with their own
-requirement vector.
+  obs_cell (K, N) int32   grid cell id of the feature (0..G-1); rows whose
+                          cells carry no coverage constraint (out-of-window
+                          observers) pass obs_cell >= n_cells
+plus a per-row requirement vector (N for window rows, ceil(ratio*N) for
+out-of-window rows, 0 for padding).
 """
 from __future__ import annotations
 
@@ -49,7 +77,7 @@ class SelectResult(NamedTuple):
     kf_cover: jnp.ndarray    # (K,) final per-KF kept-observation counts
 
 
-@partial(jax.jit, static_argnames=("n_cells", "n_iters", "n_prune"))
+@partial(jax.jit, static_argnames=("n_cells", "n_iters", "n_rounds"))
 def select_points(
     obs_pt: jnp.ndarray, obs_cell: jnp.ndarray, obs_valid: jnp.ndarray,
     cost: jnp.ndarray, p_valid: jnp.ndarray,
@@ -58,123 +86,149 @@ def select_points(
     lam_grid: float | jnp.ndarray = 10.0,
     n_cells: int = 64 * 48,
     n_iters: int = 60,
-    n_prune: int = 96,
+    n_rounds: int = 24,
 ) -> SelectResult:
     """Solve the selection problem.
 
     Args:
       obs_pt:   (K,N) dense point ids per observation row (-1 invalid). Rows
                 may be window KFs or pro-rated out-of-window observers.
-      obs_cell: (K,N) cell id per observation.
+      obs_cell: (K,N) cell id per observation (>= n_cells: unconstrained).
       obs_valid:(K,N) bool.
       cost:     (P,) point cost (maxObs - obs count), >= 0.
       p_valid:  (P,) bool.
-      req_kf:   (K,) per-row coverage requirement (N for window rows,
-                ceil(ratio*N) for out-of-window rows, 0 for padding).
+      req_kf:   (K,) per-row coverage requirement.
     """
     K, N = obs_pt.shape
     P = cost.shape[0]
     obs_ok = obs_valid & (obs_pt >= 0)
     pt = jnp.where(obs_ok, obs_pt, P)            # sentinel -> dropped
-    # global cell ids, row-major (kf, cell); out-of-window observer rows pass
-    # obs_cell >= n_cells so their cells carry no coverage constraint
+    ptc = jnp.clip(obs_pt, 0, P - 1)
+    # global cell ids, row-major (kf, cell); sentinel = K*n_cells
     cell_ok = obs_ok & (obs_cell >= 0) & (obs_cell < n_cells)
+    G = K * n_cells
     gcell = jnp.where(cell_ok,
                       jnp.arange(K)[:, None] * n_cells + obs_cell,
-                      K * n_cells)               # sentinel K*n_cells
+                      G)
 
-    occupied = jnp.zeros((K * n_cells + 1,), bool).at[gcell.reshape(-1)].set(
+    occupied = jnp.zeros((G + 1,), bool).at[gcell.reshape(-1)].set(
         True).at[-1].set(False)
 
     lam = jnp.asarray(lam, jnp.float32)
     lam_grid = jnp.asarray(lam_grid, jnp.float32)
-    req_kf_f = req_kf.astype(jnp.float32)
+    req_f = req_kf.astype(jnp.float32)
+    cost_obs = cost[ptc]
+    # unique float tie-break keys (costs are typically small integers)
+    tiebreak = ptc.astype(jnp.float32) / (P + 2.0)
 
-    def x_of(score):
-        return (score > cost) & p_valid
+    # ---- stage 1: dual ascent on the LP relaxation ----
+    cmax = jnp.maximum(jnp.max(jnp.where(p_valid, cost, 0.0)), 1.0)
+
+    def score_of(y_kf, y_cell):
+        contrib = (y_kf[:, None] + y_cell[gcell]) * obs_ok
+        return jnp.zeros((P + 1,), jnp.float32).at[pt.reshape(-1)].add(
+            contrib.reshape(-1))[:P]
+
+    half_at = n_iters - n_iters // 2            # averaging window start
 
     def ascent(carry, t):
-        y_kf, y_cell = carry
-        # score_p = sum over observations of p of (y_kf + y_cell)
-        contrib = (y_kf[:, None] * jnp.ones((1, N))
-                   + y_cell[gcell]) * obs_ok
-        score = jnp.zeros((P + 1,), jnp.float32).at[pt.reshape(-1)].add(
-            contrib.reshape(-1))[:P]
-        x = x_of(score).astype(jnp.float32)
-        # coverage per row and per cell
-        xv = x[jnp.clip(obs_pt, 0, P - 1)] * obs_ok
+        y_kf, y_cell, acc_kf, acc_cell = carry
+        score = score_of(y_kf, y_cell)
+        x = ((score > cost) & p_valid).astype(jnp.float32)
+        xv = x[ptc] * obs_ok
         cover_kf = jnp.sum(xv, axis=1)
-        cover_cell = jnp.zeros((K * n_cells + 1,), jnp.float32).at[
+        cover_cell = jnp.zeros((G + 1,), jnp.float32).at[
             gcell.reshape(-1)].add(xv.reshape(-1))
-        # diminishing step keeps the iterates near the dual optimum
-        eta = lam / (2.0 + t)
-        eta_g = lam_grid / (2.0 + t)
-        y_kf = jnp.clip(y_kf + eta * (req_kf_f - cover_kf), 0.0, lam)
+        eta = cmax / (2.0 + 0.5 * t)
+        y_kf = jnp.clip(
+            y_kf + eta * (req_f - cover_kf) / jnp.maximum(req_f, 1.0),
+            0.0, lam)
         y_cell = jnp.clip(
-            y_cell + eta_g * (1.0 - cover_cell) * occupied, 0.0, lam_grid)
-        return (y_kf, y_cell), None
+            y_cell + eta * (1.0 - cover_cell) * occupied, 0.0, lam_grid)
+        in_avg = (t >= half_at).astype(jnp.float32)
+        return (y_kf, y_cell,
+                acc_kf + y_kf * in_avg, acc_cell + y_cell * in_avg), None
 
-    y0 = (jnp.zeros((K,), jnp.float32),
-          jnp.zeros((K * n_cells + 1,), jnp.float32))
-    (y_kf, y_cell), _ = jax.lax.scan(ascent, y0,
-                                     jnp.arange(n_iters, dtype=jnp.float32))
+    y0 = (jnp.zeros((K,), jnp.float32), jnp.zeros((G + 1,), jnp.float32),
+          jnp.zeros((K,), jnp.float32), jnp.zeros((G + 1,), jnp.float32))
+    (_, _, acc_kf, acc_cell), _ = jax.lax.scan(
+        ascent, y0, jnp.arange(n_iters, dtype=jnp.float32))
+    denom = float(max(n_iters - half_at, 1))
+    lp_keep = (score_of(acc_kf / denom, acc_cell / denom) > cost) & p_valid
 
-    contrib = (y_kf[:, None] * jnp.ones((1, N)) + y_cell[gcell]) * obs_ok
-    score = jnp.zeros((P + 1,), jnp.float32).at[pt.reshape(-1)].add(
-        contrib.reshape(-1))[:P]
-    lp_keep = x_of(score)
-
-    # --- repair: per-KF top-up to req (rank observed points by LP choice
-    # then by low cost), per-cell argmax ---
-    sel_obs = lp_keep[jnp.clip(obs_pt, 0, P - 1)] & obs_ok
-    # priority per observation: selected first, then cheap points first
-    cost_obs = cost[jnp.clip(obs_pt, 0, P - 1)]
-    prio = jnp.where(obs_ok,
-                     sel_obs * 1e6 - cost_obs,
-                     -jnp.inf)
+    # ---- stage 2: feasibility repair ----
+    sel_obs = lp_keep[ptc] & obs_ok
+    # per-KF top-up to req: LP-selected observations first, then cheap
+    prio = jnp.where(obs_ok, sel_obs * 1e6 - cost_obs - tiebreak, -jnp.inf)
     order = jnp.argsort(-prio, axis=1)           # (K,N) best first
     rank = jnp.zeros((K, N), jnp.int32).at[
         jnp.arange(K)[:, None], order].set(
         jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (K, N)))
-    topup = rank < req_kf[:, None]               # keep the first req_k obs
-    # per-cell argmax: best observation (same priority) per occupied cell
-    best_prio = jnp.full((K * n_cells + 1,), -jnp.inf, prio.dtype).at[
-        gcell.reshape(-1)].max(prio.reshape(-1))
-    cell_best = (prio == best_prio[gcell]) & cell_ok & (prio > -jnp.inf)
+    topup = rank < req_kf[:, None]
+    keep_obs0 = (sel_obs | topup) & obs_ok
+    # price-aware cell repair (ref MapSparsification.cc:111-116: cell
+    # coverage is a lambda_grid-priced slack constraint, NOT hard): cover
+    # an uncovered occupied cell only when the cheapest covering point
+    # costs less than the slack the ILP would otherwise pay.
+    covered0 = jnp.zeros((G + 1,), bool).at[
+        jnp.where(keep_obs0 & cell_ok, gcell, G).reshape(-1)].set(True)
+    uncov = occupied & ~covered0
+    cprio = jnp.where(cell_ok & uncov[gcell], -cost_obs - tiebreak, -jnp.inf)
+    cbest = jnp.full((G + 1,), -jnp.inf, jnp.float32).at[
+        gcell.reshape(-1)].max(cprio.reshape(-1))
+    cell_best = ((cprio == cbest[gcell]) & (cprio > -jnp.inf)
+                 & (cost_obs < lam_grid))
 
-    keep_obs = (sel_obs | topup | cell_best) & obs_ok
+    keep_obs = keep_obs0 | cell_best
     keep = jnp.zeros((P + 1,), bool).at[
         jnp.where(keep_obs, pt, P).reshape(-1)].set(True)[:P] & p_valid
 
-    # --- prune: the union repair overshoots (a point topped-up for one
-    # row may be redundant for every constraint once the union settles).
-    # Greedy sequential drop of the most expensive SAFE point — safe =
-    # removing it leaves every row at/above its requirement and every
-    # occupied cell covered — mirrors how the exact ILP only pays for
-    # points a constraint actually needs (MIPGap 0.002 reference bar).
-    ptc = jnp.clip(obs_pt, 0, P - 1)
-    row_ix = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
+    # ---- stage 3: batched safe-prune rounds ----
+    def scatter_or_p(mask_obs):
+        return jnp.zeros((P + 1,), bool).at[
+            jnp.where(mask_obs, pt, P).reshape(-1)].set(True)[:P]
 
-    def prune_body(i, keep):
+    def prune_round(r, keep):
         kept_obs = keep[ptc] & obs_ok
-        slack = jnp.sum(kept_obs, axis=1) - req_kf            # (K,)
-        cell_cover = jnp.zeros((K * n_cells + 1,), jnp.int32).at[
-            jnp.where(kept_obs, gcell, K * n_cells).reshape(-1)].add(1)
-        # per-(row, point) kept-observation counts
-        cnt = jnp.zeros((K, P + 1), jnp.int32).at[
-            row_ix, jnp.where(kept_obs, pt, P)].add(1)[:, :P]
-        row_ok = jnp.all((cnt == 0) | (slack[:, None] >= cnt), axis=0)
-        # p holds the sole cover of some occupied constrained cell?
-        sole = kept_obs & cell_ok & (cell_cover[gcell] <= 1)
-        sole_p = jnp.zeros((P + 1,), bool).at[
-            jnp.where(sole, pt, P).reshape(-1)].set(True)[:P]
-        safe = keep & row_ok & ~sole_p & (cost > 0)
-        j = jnp.argmax(jnp.where(safe, cost, -1.0))
-        return keep.at[j].set(keep[j] & ~safe[j])
+        cover_kf = jnp.sum(kept_obs, axis=1)
+        slack = jnp.maximum(cover_kf - req_kf, 0)               # (K,)
+        cell_cover = jnp.zeros((G + 1,), jnp.int32).at[
+            jnp.where(kept_obs & cell_ok, gcell, G).reshape(-1)].add(1)
+        # gain of dropping p: its cost minus the lambda_grid slack for
+        # every priced cell it is the sole cover of
+        sole = kept_obs & cell_ok & (cell_cover[gcell] == 1)
+        sole_cnt = jnp.zeros((P + 1,), jnp.float32).at[
+            jnp.where(sole, pt, P).reshape(-1)].add(1.0)[:P]
+        gain = cost - lam_grid * sole_cnt
+        cand_p = keep & (gain > 0)
+        # a point kept by a row with no slack can never drop this round;
+        # excluding it up front keeps it from occupying a rank slot
+        veto0 = kept_obs & (slack == 0)[:, None]
+        cand_p = cand_p & ~scatter_or_p(veto0)
+        cand_obs = cand_p[ptc] & kept_obs
+        # per-row cap: rank candidates by gain desc, admit rank < slack —
+        # the joint drop then removes at most `slack` observations per row
+        gprio = jnp.where(cand_obs, gain[ptc] - tiebreak, -jnp.inf)
+        order2 = jnp.argsort(-gprio, axis=1)
+        rank2 = jnp.zeros((K, N), jnp.int32).at[
+            jnp.arange(K)[:, None], order2].set(
+            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (K, N)))
+        row_admit = cand_obs & (rank2 < slack[:, None])
+        drop_p = cand_p & ~scatter_or_p(cand_obs & ~row_admit)
+        # per-cell cap: at most one non-sole cover drops per priced cell
+        # per round (sole covers already paid lambda_grid in their gain);
+        # later rounds recompute coverage, so deeper redundancy drains
+        # one layer per round
+        dobs = drop_p[ptc] & kept_obs & cell_ok & (cell_cover[gcell] >= 2)
+        dprio = jnp.where(dobs, gain[ptc] - tiebreak, -jnp.inf)
+        dbest = jnp.full((G + 1,), -jnp.inf, jnp.float32).at[
+            gcell.reshape(-1)].max(dprio.reshape(-1))
+        drop_p = drop_p & ~scatter_or_p(dobs & (dprio < dbest[gcell]))
+        return keep & ~drop_p
 
-    keep = jax.lax.fori_loop(0, n_prune, prune_body, keep)
+    keep = jax.lax.fori_loop(0, n_rounds, prune_round, keep)
 
-    kept_obs = keep[jnp.clip(obs_pt, 0, P - 1)] & obs_ok
+    kept_obs = keep[ptc] & obs_ok
     kf_cover = jnp.sum(kept_obs, axis=1).astype(jnp.int32)
     return SelectResult(keep=keep, lp_keep=lp_keep, kf_cover=kf_cover)
 
@@ -191,12 +245,13 @@ def selection_cost(keep, cost, kf_cover, req_kf, lam, obs_pt=None,
         K, N = obs_pt.shape
         P = cost.shape[0]
         obs_ok = obs_valid & (obs_pt >= 0)
-        gcell = jnp.where(obs_ok,
+        priced = obs_ok & (obs_cell >= 0) & (obs_cell < n_cells)
+        gcell = jnp.where(priced,
                           jnp.arange(K)[:, None] * n_cells + obs_cell,
                           K * n_cells)
         occupied = jnp.zeros((K * n_cells + 1,), bool).at[
             gcell.reshape(-1)].set(True).at[-1].set(False)
-        kept = keep[jnp.clip(obs_pt, 0, P - 1)] & obs_ok
+        kept = keep[jnp.clip(obs_pt, 0, P - 1)] & priced
         covered = jnp.zeros((K * n_cells + 1,), bool).at[
             jnp.where(kept, gcell, K * n_cells).reshape(-1)].set(True)
         cell_pen = lam_grid * jnp.sum(occupied & ~covered)

@@ -101,7 +101,7 @@ def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
 
     res = select.select_points(obs_pt, obs_cell, obs_ok, cost, pt_valid,
                                req, lam=lam, lam_grid=lam_grid,
-                               n_cells=n_cells, n_iters=40)
+                               n_cells=n_cells)
 
     # delete unselected, mark kept as sparsified
     kill_local = pt_valid & ~res.keep
