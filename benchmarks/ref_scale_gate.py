@@ -56,6 +56,12 @@ def circuit(n_frames: int, radius: float = 9.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--no-sparsify", action="store_true",
+                    help="bisect: odometry+loop only")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="bisect: raw odometry (+sparsify)")
+    ap.add_argument("--dump-traj", default=None,
+                    help="write est/gt xyz per frame to this npz")
     args = ap.parse_args()
 
     import jax
@@ -82,10 +88,10 @@ def main():
         min_init_depth_points=300,
         max_frames_between_kf=10,
         # the REFERENCE KITTI parameterization, unscaled
-        sparsify=True, sparsify_n=100, sparsify_lambda=500.0,
+        sparsify=not args.no_sparsify, sparsify_n=100, sparsify_lambda=500.0,
         sparsify_grid_lambda=10.0, sparsify_window=30,
         sparsify_queue_min=11, nonlocal_kf=30,
-        loop_closing=True,
+        loop_closing=not args.no_loop,
     )
 
     rng = np.random.default_rng(0)
@@ -102,19 +108,23 @@ def main():
             slam.track_stereo(*prev[0], prev[1], next_images=(im_l, im_r))
         prev = ((im_l, im_r), 0.1 * i)
         if i % 200 == 0:
+            nw = (slam._sparsifier.stats["windows"]
+                  if slam._sparsifier is not None else 0)
+            nl = (slam._loop_closer.stats["loops"]
+                  if slam._loop_closer is not None else 0)
             print(f"# frame {i}/{n} state={slam.state} "
                   f"kf={slam.keyframes_in_map()} "
                   f"mp={slam.map_points_in_map()} "
-                  f"windows={slam._sparsifier.stats['windows']} "
-                  f"loops={slam._loop_closer.stats['loops']}",
-                  file=sys.stderr)
+                  f"windows={nw} loops={nl}", file=sys.stderr)
     slam.track_stereo(*prev[0], prev[1])
     slam.shutdown()
     wall = time.time() - t0
 
     stats = slam.memory_stats()
-    sp = slam._sparsifier.stats
-    lc = slam._loop_closer.stats
+    sp = (slam._sparsifier.stats if slam._sparsifier is not None
+          else {"windows": 0, "kept": 0, "killed": 0})
+    lc = (slam._loop_closer.stats if slam._loop_closer is not None
+          else {"loops": 0})
     kept_frac = sp["kept"] / max(sp["kept"] + sp["killed"], 1)
 
     gt_by_ts = {round(0.1 * i, 6): T for i, T in enumerate(poses)}
@@ -123,6 +133,9 @@ def main():
     gt = np.stack([gt_by_ts[round(ts, 6)][:3, 3] for ts, _ in rows])
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     rmse = float(ate_rmse(est, gt))
+    if args.dump_traj:
+        np.savez(args.dump_traj, est=est, gt=gt,
+                 ts=np.array([ts for ts, _ in rows]))
 
     result = {
         "frames": n,

@@ -235,7 +235,13 @@ def solve_psd6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     cost of the pose optimizer; this is ~30 fused VPU ops.
 
     [[P, Q], [Q^T, S]] x = [u, v]:  S' = S - Q^T P^-1 Q;
-    x2 = S'^-1 (v - Q^T P^-1 u);  x1 = P^-1 (u - Q x2)."""
+    x2 = S'^-1 (v - Q^T P^-1 u);  x1 = P^-1 (u - Q x2).
+
+    Conditioning note: the cofactor-based 3x3 inverses lose precision in
+    f32 for ill-conditioned Hessians (LU pivots; this doesn't). Callers
+    are LM loops whose damping keeps the blocks diagonally dominant, and
+    whose accept/reject step discards any cost-increasing update, which
+    bounds the impact of a bad solve to a wasted iteration."""
     P = A[..., :3, :3]
     Q = A[..., :3, 3:]
     S = A[..., 3:, 3:]

@@ -495,22 +495,6 @@ def _canvas_masks(h: int, w: int, cfg: OrbConfig):
     return m, cell_lvl, ghc, gwc
 
 
-def _subblock_split(cs: int, k: int):
-    """(ry, rx) with ry*rx == k and cs divisible by both, preferring
-    near-square sub-blocks; None if k has no such factorization."""
-    best = None
-    for ry in range(1, k + 1):
-        if k % ry:
-            continue
-        rx = k // ry
-        if cs % ry or cs % rx:
-            continue
-        score = abs((cs // ry) - (cs // rx))
-        if best is None or score < best[0]:
-            best = (score, ry, rx)
-    return None if best is None else (best[1], best[2])
-
-
 def detect_canvas(canvas: jnp.ndarray, w: int, cfg: OrbConfig):
     """All-level detection on packed canvases (B,H,Wc). Returns per-image
     (B,N) arrays: level, y, x_canvas, score, valid."""
@@ -686,14 +670,23 @@ def extract_patches_canvas_pallas(canvas: jnp.ndarray, ys, xs,
     patches on one v5e core); in-VMEM slicing runs in well under 1 ms.
 
     canvas: (B, H, Wc); ys/xs: (B*n,) canvas coordinates, image-major
-    (keypoint i belongs to image i // n). Returns (B*n, E, E) patches in
-    canvas dtype."""
+    (keypoint i belongs to image i // n). Returns (B*n, E, E) float32
+    patches (the kernel widens to f32 for pltpu.roll; downstream wants f32
+    anyway)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Wc = canvas.shape
     E = 2 * EXTRACT_R + 1
-    assert H % 8 == 0 and Wc % 128 == 0, (H, Wc)
+    if H % 8:
+        # Mosaic needs sublane-aligned windows; canvas heights are only a
+        # multiple of 8 for the shipped configs (376/384/480/512) — pad
+        # other heights (e.g. native KITTI 375/370 rows) instead of
+        # asserting. Keypoint rows are clipped inside the kernel, so the
+        # zero pad rows are never sampled as patch centers.
+        canvas = jnp.pad(canvas, ((0, 0), (0, 8 - H % 8), (0, 0)))
+        H = canvas.shape[1]
+    assert Wc % 128 == 0, (H, Wc)
     N = ys.shape[0]
     n_per_img = N // B
     K = min(block, n_per_img)

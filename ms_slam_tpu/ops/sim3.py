@@ -185,6 +185,57 @@ def sim3_refine(model: int, params: jnp.ndarray,
                             n_inliers=jnp.sum(inl).astype(jnp.int32))
 
 
+def sim3_refine_world(model: int, params: jnp.ndarray,
+                      Xw: jnp.ndarray, uv: jnp.ndarray,
+                      sigma2: jnp.ndarray, mask: jnp.ndarray,
+                      s0: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
+                      with_scale: bool = False, n_iters: int = 10,
+                      th2: float = 10.0) -> Sim3RefineResult:
+    """Forward-only Sim(3) refinement of S_cw (world -> camera) from
+    landmark -> feature correspondences. The OptimizeSim3 analog used by
+    temporal loop-hypothesis refinement (ref DetectAndReffineSim3FromLastKF,
+    /root/reference/src/LoopClosing.cc:539-581), where the matched side
+    contributes a landmark POOL (its covisible window's map points) rather
+    than per-feature pairs — so only the EdgeSim3ProjectXYZ direction
+    exists. Huber-weighted IRLS, state [omega(3), dt(3), dlog s]."""
+    dt_ = Xw.dtype
+    D = 7 if with_scale else 6
+
+    def unpack(x):
+        R = lie.normalize_rotation(lie.so3_exp(x[:3]) @ R0)
+        t = t0 + x[3:6]
+        s = s0 * jnp.exp(x[6]) if with_scale else s0
+        return s, R, t
+
+    def raw_res(x):
+        s, R, t = unpack(x)
+        Xc = s * (Xw @ R.T) + t
+        e = (cameras.project(model, params, Xc) - uv) \
+            / jnp.sqrt(sigma2)[:, None]
+        return e, Xc[:, 2] > 0.05
+
+    def residuals(x, sw):
+        e, _ = raw_res(x)
+        return (e * sw[:, None]).reshape(-1)
+
+    def gn(i, x):
+        e, cheir = raw_res(x)
+        chi = jnp.sum(e * e, -1)
+        w = jnp.where(chi > th2, jnp.sqrt(th2 / jnp.maximum(chi, 1e-9)), 1.0)
+        sw = jax.lax.stop_gradient(w * (mask & cheir).astype(dt_))
+        r = residuals(x, sw)
+        J = jax.jacfwd(residuals)(x, sw)
+        Hm = J.T @ J + 1e-6 * jnp.eye(D, dtype=dt_)
+        return x + jnp.linalg.solve(Hm, -J.T @ r)
+
+    x = jax.lax.fori_loop(0, n_iters, gn, jnp.zeros(D, dt_))
+    s, R, t = unpack(x)
+    e, cheir = raw_res(x)
+    inl = mask & cheir & (jnp.sum(e * e, -1) < th2)
+    return Sim3RefineResult(s=s, R=R, t=t, inliers=inl,
+                            n_inliers=jnp.sum(inl).astype(jnp.int32))
+
+
 def sim3_guided_match(model: int, params: jnp.ndarray,
                       s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
                       Xc2: jnp.ndarray, valid2: jnp.ndarray,

@@ -190,6 +190,82 @@ def detect_and_verify(ms: M.MapState, calib: Calib, slot: jnp.ndarray,
     return packed, group
 
 
+@partial(jax.jit, static_argnames=("calib", "with_scale", "pt_cap"))
+def refine_hypothesis(ms: M.MapState, calib: Calib, cur: jnp.ndarray,
+                      match: jnp.ndarray, last_cur: jnp.ndarray,
+                      s_lw: jnp.ndarray, R_lw: jnp.ndarray,
+                      t_lw: jnp.ndarray, with_scale: bool, pt_cap: int):
+    """Temporal loop-hypothesis refinement, one device call (ref
+    LoopClosing::DetectAndReffineSim3FromLastKF, src/LoopClosing.cc:539-581
+    via NewDetectCommonRegions :377-424): once a candidate verified, the
+    NEXT keyframe transports the held Sim3 S_lw (world -> last-current
+    camera) through the odometry increment — S_cw = T_c_lc * S_lw — and
+    re-verifies against the SAME matched keyframe instead of re-querying
+    the database:
+
+      1. project the matched KF's covisible-window landmark pool into the
+         current frame under S_cw, harvest descriptor matches
+         (FindMatchesByProjection analog, :868);
+      2. refine S_cw on the harvested set (OptimizeSim3, 10 iters);
+      3. re-harvest under the refined transform.
+
+    Returns packed (16,): [n_proj, n_opt_inliers, n_reharvest, s, t(3),
+    R(9)] — the host applies the reference's 30/50/100 acceptance ladder
+    (scaled to the feature budget). Unlike the reference we compose the
+    REFINED transform into the re-harvest and the held hypothesis (the
+    reference re-harvests with the pre-refinement rotation/translation at
+    scale 1 — keeping the refined estimate is strictly tighter)."""
+    params = calib.params_array()
+    K = ms.kf_valid.shape[0]
+    # transported hypothesis: S_cw = T_cw_est * T_lw_est^-1 * S_lw
+    R_c, t_c = ms.kf_R[cur], ms.kf_t[cur]
+    R_l, t_l = ms.kf_R[last_cur], ms.kf_t[last_cur]
+    R_cl = R_c @ R_l.T
+    t_cl = t_c - R_cl @ t_l
+    R_cw = R_cl @ R_lw
+    t_cw = R_cl @ t_lw + t_cl
+    s_cw = s_lw
+
+    # matched-side landmark pool: the matched KF's covisible window (ref
+    # FindMatchesByProjection gathers the matched KF + up to 5 covisibles)
+    covis = M.covisibility_counts(ms, match)
+    msel = (covis > 0).at[match].set(True)
+    pmask = M.local_map_mask(ms, jnp.arange(K), msel)
+    pt_idx, pt_valid = M.gather_local_points(ms, pmask, pt_cap)
+    Xw = ms.mp_pos[jnp.clip(pt_idx, 0)]
+    desc_m = ms.mp_desc[jnp.clip(pt_idx, 0)]
+
+    xy_c = ms.kp_xy[cur]
+    oct_c = ms.kp_octave[cur]
+    desc_c = ms.kp_desc[cur]
+    va = ms.kp_valid[cur]
+    w_img = jnp.asarray(calib.width, jnp.float32)
+    h_img = jnp.asarray(calib.height, jnp.float32)
+    Nc = va.shape[0]
+
+    def harvest(s, R, t):
+        g = sim3.sim3_guided_match(calib.model, params, s, R, t,
+                                   Xw, pt_valid, desc_m,
+                                   xy_c, oct_c, desc_c, va, w_img, h_img)
+        # count distinct matched current-frame features
+        hit = jnp.zeros((Nc + 1,), bool).at[
+            jnp.where(g >= 0, g, Nc)].set(True)[:Nc]
+        return g, jnp.sum(hit).astype(jnp.int32)
+
+    g1, n1 = harvest(s_cw, R_cw, t_cw)
+    corr = g1 >= 0
+    gc = jnp.clip(g1, 0)
+    sigma2 = (1.2 ** oct_c[gc].astype(jnp.float32)) ** 2
+    ref = sim3.sim3_refine_world(
+        calib.model, params, Xw, xy_c[gc], sigma2, corr,
+        s_cw, R_cw, t_cw, with_scale=with_scale, n_iters=10)
+    _, n2 = harvest(ref.s, ref.R, ref.t)
+    return jnp.concatenate([
+        jnp.stack([n1.astype(jnp.float32), ref.n_inliers.astype(jnp.float32),
+                   n2.astype(jnp.float32), ref.s]),
+        ref.t, ref.R.reshape(9)])
+
+
 @jax.jit
 def _apply_window_correction(ms: M.MapState, win_mask_k: jnp.ndarray,
                              sc: jnp.ndarray, Rc: jnp.ndarray,
@@ -266,27 +342,67 @@ class LoopCloser:
         # tests
         self.db = system.kf_db if system.kf_db is not None else \
             KeyFrameDatabase(n_words=n_words, max_kf=system.cfg.map.max_kf)
-        self.consecutive = 0
-        self.last_cand_group: set[int] = set()
         self.key = jax.random.PRNGKey(7)
-        self.stats = {"queries": 0, "verified": 0, "loops": 0}
-        self.loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
-
-    # -- database feed (sparsified keyframes only) ----------------------
-    def insert_sparsified_keyframe(self, slot: int):
-        ms = self.sys.ms
-        self.db.add(slot, ms.kp_desc[slot], ms.kp_valid[slot])
+        self.stats = {"queries": 0, "verified": 0, "loops": 0, "refines": 0}
+        self.loop_edges: list[tuple[int, int]] = []
+        # active place hypothesis (ref mnLoopNumCoincidences machinery,
+        # LoopClosing.cc:377-424): matched KF, the keyframe the held Sim3
+        # is anchored to, S_lw = (s, R, t) world -> last-current camera,
+        # and the coincidence / not-found counters
+        self._hyp: dict | None = None
+        # acceptance ladder for hypothesis refinement (ref 30/50/100 at
+        # 2000 features, DetectAndReffineSim3FromLastKF) scaled to budget
+        f = system.cfg.orb.n_features / 2000.0
+        self.th_proj = max(int(round(30 * f)), 10)
+        self.th_opt = max(int(round(50 * f)), 14)
+        self.th_rep = max(int(round(100 * f)), 22)
 
     # -- detection per new keyframe -------------------------------------
+    # (the sparsified-KF database feed happens in Sparsifier._sparsify via
+    # System.kf_db.add — the analog of LoopClosing::DeleteOutdatedInfo ->
+    # KeyFrameDatabase::add, src/LoopClosing.cc:318-326)
     _pending = None
 
     def insert_keyframe(self, slot: int):
-        """Dispatch the place-recognition query for this keyframe; the
-        result is FETCHED at the next keyframe (or flush) — the reference
-        runs detection on its own thread for the same reason
-        (LoopClosing::Run), a synchronous device_get per query would stall
-        the camera-rate path for a full tunnel round trip."""
-        self.flush()                    # integrate the previous query
+        """Dispatch this keyframe's place-recognition work; the result is
+        FETCHED at the next keyframe (or flush) — the reference runs
+        detection on its own thread for the same reason (LoopClosing::Run),
+        a synchronous device_get per query would stall the camera-rate
+        path for a full tunnel round trip.
+
+        With an active hypothesis the dispatch is a REFINEMENT against the
+        held matched keyframe (ref NewDetectCommonRegions
+        :377: `if(mnLoopNumCoincidences > 0)` runs
+        DetectAndReffineSim3FromLastKF instead of the database query);
+        otherwise it is the tf-idf database query + Sim3 verification."""
+        self.flush()                    # integrate the previous dispatch
+        if self._pending is not None:   # refine-failure fallback query
+            self.flush()
+        sys = self.sys
+        h = self._hyp
+        if h is not None:
+            if (h["match"] in sys.kf_order
+                    and h["last_cur"] in sys.kf_order):
+                self.stats["refines"] += 1
+                s0, R0, t0 = h["S_lw"]
+                packed = refine_hypothesis(
+                    sys.ms, sys.calib, jnp.asarray(slot),
+                    jnp.asarray(h["match"]), jnp.asarray(h["last_cur"]),
+                    jnp.asarray(s0, jnp.float32),
+                    jnp.asarray(R0, jnp.float32),
+                    jnp.asarray(t0, jnp.float32),
+                    with_scale=self.mono,
+                    pt_cap=sys.cfg.map.local_mp_cap)
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                self._pending = ("refine", slot, packed)
+                return
+            self._hyp = None            # endpoint culled — drop it
+        self._dispatch_query(slot)
+
+    def _dispatch_query(self, slot: int):
         sys = self.sys
         if not self.db.present.any():
             return
@@ -304,54 +420,95 @@ class LoopCloser:
                 h.copy_to_host_async()
             except Exception:
                 pass
-        self._pending = (slot, packed, group_m)
+        self._pending = ("query", slot, packed)
 
     def flush(self):
         """Complete a dispatched detection (one deferred fetch)."""
         if self._pending is None:
             return
-        slot, packed, group_m = self._pending
-        self._pending = None
-        packed, group_m = jax.device_get((packed, group_m))
-        packed = np.asarray(packed)
-        best = None
-        row = packed[int(np.argmax(packed[:, 2]))]   # matches group_m's pick
-        c, n_inl = int(row[0]), int(row[2])
-        if n_inl >= MIN_RANSAC_INLIERS:
-            best = (c, float(row[3]), row[7:16].reshape(3, 3),
-                    row[4:7], n_inl)
-        if best is None:
-            self.consecutive = 0
-            self.last_cand_group = set()
-            return
-        c = best[0]
-        group = set(np.where(np.asarray(group_m))[0].tolist()) | {c}
-        if self.last_cand_group & group or not self.last_cand_group:
-            self.consecutive += 1
+        if self._pending[0] == "refine":
+            self._flush_refine()
         else:
-            self.consecutive = 1
-        self.last_cand_group = group
+            self._flush_query()
+
+    def _kf_pose_np(self, k: int):
+        ms = self.sys.ms
+        pk = np.asarray(jnp.concatenate([ms.kf_R[k].reshape(9),
+                                         ms.kf_t[k]]))
+        return pk[:9].reshape(3, 3), pk[9:]
+
+    def _flush_query(self):
+        _, slot, packed = self._pending
+        self._pending = None
+        packed = np.asarray(jax.device_get(packed))
+        row = packed[int(np.argmax(packed[:, 2]))]
+        c, n_inl = int(row[0]), int(row[2])
+        if n_inl < MIN_RANSAC_INLIERS or c not in self.sys.kf_order \
+                or slot not in self.sys.kf_order:
+            return
         self.stats["verified"] += 1
-        if self.consecutive >= CONSECUTIVE_NEEDED:
-            # the deferred fetch means a window of one keyframe passed:
-            # skip if either endpoint was culled/recycled meanwhile
-            if (slot not in self.sys.kf_order
-                    or c not in self.sys.kf_order):
-                self.consecutive = 0
-                self.last_cand_group = set()
-                return
-            if self.sys.kf_maps[c] != self.sys.kf_maps[slot]:
-                # cross-map merges get the gravity-consistency gate too
-                # (ref applies the pitch/roll check in common-region
-                # detection for loop AND merge candidates,
-                # LoopClosing.cc:243-256); widened 2x — merge hypotheses
-                # span maps whose relative tilt is less refined
-                if self._inertial_gate_ok(slot, c, best[2], tol_scale=2.0):
-                    self._merge_maps(slot, *best[:4])
-            elif self._inertial_gate_ok(slot, c, best[2]):
-                self._correct_loop(slot, *best[:4])
-            self.consecutive = 0
-            self.last_cand_group = set()
+        s_cm = float(row[3])
+        R_cm = row[7:16].reshape(3, 3)
+        t_cm = row[4:7]
+        # anchor the hypothesis in world coords: S_cw = S_cm * T_mw
+        Rm, tm = self._kf_pose_np(c)
+        R_cw = R_cm @ Rm
+        t_cw = s_cm * (R_cm @ tm) + t_cm
+        self._hyp = {"match": c, "last_cur": slot,
+                     "S_lw": (s_cm, R_cw, t_cw),
+                     "n_coin": 1, "n_notfound": 0}
+        if CONSECUTIVE_NEEDED <= 1:
+            self._confirm(slot)
+
+    def _flush_refine(self):
+        _, slot, packed = self._pending
+        self._pending = None
+        p = np.asarray(jax.device_get(packed))
+        n_proj, n_opt, n_rep = int(p[0]), int(p[1]), int(p[2])
+        h = self._hyp
+        if h is None or slot not in self.sys.kf_order:
+            return
+        ok = (n_proj >= self.th_proj and n_opt > self.th_opt
+              and n_rep >= self.th_rep)
+        if ok:
+            h["n_coin"] += 1
+            h["n_notfound"] = 0
+            h["last_cur"] = slot
+            h["S_lw"] = (float(p[3]), p[7:16].reshape(3, 3), p[4:7])
+            self.stats["verified"] += 1
+            if h["n_coin"] >= CONSECUTIVE_NEEDED:
+                self._confirm(slot)
+        else:
+            # ref :410-421: two consecutive refinement misses drop the
+            # hypothesis; either way the reference falls through to a
+            # database query in the same iteration — dispatch it now, the
+            # caller's flush integrates it
+            h["n_notfound"] += 1
+            if h["n_notfound"] >= 2:
+                self._hyp = None
+            self._dispatch_query(slot)
+
+    def _confirm(self, slot: int):
+        h = self._hyp
+        self._hyp = None
+        match = h["match"]
+        if slot not in self.sys.kf_order or match not in self.sys.kf_order:
+            return
+        # back to relative form for the correction: S_cm = S_cw * T_wm
+        s_cw, R_cw, t_cw = h["S_lw"]
+        Rm, tm = self._kf_pose_np(match)
+        R_cm = R_cw @ Rm.T
+        t_cm = t_cw - s_cw * (R_cm @ tm)
+        if self.sys.kf_maps[match] != self.sys.kf_maps[slot]:
+            # cross-map merges get the gravity-consistency gate too (ref
+            # applies the pitch/roll check in common-region detection for
+            # loop AND merge candidates, LoopClosing.cc:243-256); widened
+            # 2x — merge hypotheses span maps whose relative tilt is less
+            # refined
+            if self._inertial_gate_ok(slot, match, R_cm, tol_scale=2.0):
+                self._merge_maps(slot, match, s_cw, R_cm, t_cm)
+        elif self._inertial_gate_ok(slot, match, R_cm):
+            self._correct_loop(slot, match, s_cw, R_cm, t_cm)
 
     def _inertial_ready(self) -> bool:
         sys = self.sys

@@ -1486,6 +1486,10 @@ class System:
             pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters,
             cullable=cullable, red_th=red_th)
         self.ms = out.ms
+        # mapping_step creates/fuses/culls map points — invalidate the
+        # cached obs-count table here, local to the mutation, rather than
+        # relying on callers to have set it
+        self._obs_dirty = True
         info = np.asarray(out.info)   # the one per-keyframe fetch
         self.n_mp += int(info[0])
         window = [int(v) for v in info[4:4 + Wk] if v >= 0]

@@ -268,6 +268,68 @@ def test_loop_closure_in_box_world(rng):
     assert float(np.mean(err2)) < 0.04 * path_len, (np.mean(err2), path_len)
 
 
+@pytest.mark.slow
+def test_loop_confirms_from_single_retrieval(rng):
+    """Temporal hypothesis refinement (VERDICT r4 #5, ref
+    DetectAndReffineSim3FromLastKF, src/LoopClosing.cc:539-581): after ONE
+    successful database retrieval starts the hypothesis, the database is
+    silenced — the remaining coincidences must come from refining the held
+    Sim3 against the same matched keyframe, and the loop must still
+    confirm. Under the round-4 design (a fresh database query per
+    keyframe) this scenario could never close."""
+    from ms_slam_tpu.models.map_state import MapConfig
+    from ms_slam_tpu.ops.orb import OrbConfig
+    from ms_slam_tpu.pipeline.frontend import Calib
+    from ms_slam_tpu.pipeline.system import System, SystemConfig
+    from ms_slam_tpu.utils import synth
+
+    H, W, FX, BL = 240, 320, 260.0, 0.15
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    calib = Calib(model=0, params=(FX, FX, W / 2, H / 2), bf=FX * BL,
+                  width=W, height=H, th_depth=BL * 45, fps=10.0)
+    cfg = SystemConfig(
+        calib=calib,
+        orb=OrbConfig(n_features=512, n_levels=4),
+        map=MapConfig(max_kf=96, max_mp=12288, n_feat=512,
+                      local_mp_cap=2048, window_kf=6,
+                      grid_w=16, grid_h=12),
+        min_init_depth_points=100,
+        max_frames_between_kf=3,
+        sparsify=True, sparsify_n=40, sparsify_window=4,
+        sparsify_queue_min=2, nonlocal_kf=3,
+        loop_closing=True, loop_covis_min=30,
+    )
+    slam = System(cfg)
+    lc = slam._loop_closer
+    orig_dispatch = lc._dispatch_query
+    state = {"started": False}
+
+    def dispatch_once(slot):
+        if state["started"]:
+            return               # retrieval never fires again
+        orig_dispatch(slot)
+    lc._dispatch_query = dispatch_once
+
+    orig_flush_query = lc._flush_query
+
+    def flush_query_track():
+        orig_flush_query()
+        if lc._hyp is not None:
+            state["started"] = True   # hypothesis started from ONE retrieval
+    lc._flush_query = flush_query_track
+
+    world = synth.BoxWorld(rng, half=7.0)
+    poses = synth.make_trajectory(80, "orbit")
+    poses = poses + poses[:20]
+    for i, T_wc in enumerate(poses):
+        im_l, im_r = world.render_stereo(K, T_wc, BL, H, W)
+        slam.track_stereo(im_l, im_r, timestamp=0.1 * i)
+
+    assert lc.stats["refines"] >= 2, lc.stats
+    assert lc.stats["loops"] >= 1, lc.stats
+    assert slam.state == "OK"
+
+
 def test_inertial_yaw_only_loop_gate():
     """Ref LoopClosing.cc:243-256: with gravity observed (VIBA2 done) a
     loop correction whose world rotation has pitch/roll beyond 0.008 rad
