@@ -482,6 +482,261 @@ def vi_window_ba(
                           cost=jnp.zeros((), dt))
 
 
+@partial(jax.jit, static_argnames=("model", "n_iters", "cg_iters"))
+def vi_full_ba(
+    model: int, params: jnp.ndarray, bf: jnp.ndarray,
+    R_wb: jnp.ndarray, p_wb: jnp.ndarray, vels: jnp.ndarray,
+    kf_mask: jnp.ndarray,
+    preints: imu.PreintState,            # (W-1,) stacked, interval i->i+1
+    preint_valid: jnp.ndarray,           # (W-1,)
+    bg0: jnp.ndarray, ba0: jnp.ndarray, g: jnp.ndarray,
+    mp_pos: jnp.ndarray,                 # (M,3) landmark pool
+    f_pt: jnp.ndarray, f_kf: jnp.ndarray, f_uv: jnp.ndarray,
+    f_ur: jnp.ndarray, f_sigma2: jnp.ndarray, f_valid: jnp.ndarray,
+    walk_info: jnp.ndarray,
+    R_bc: jnp.ndarray = None, t_bc: jnp.ndarray = None,
+    n_iters: int = 4, cg_iters: int = 64,
+) -> VIWindowResult:
+    """JOINT whole-chain visual-inertial BA (ref Optimizer::FullInertialBA,
+    /root/reference/src/Optimizer.cc:366, run after a loop correction via
+    RunGlobalBundleAdjustment, src/LoopClosing.cc:2228-2230): one
+    optimization over EVERY temporal keyframe of the active map — poses,
+    velocities, shared bias, gravity direction, and all observed
+    landmarks. This replaces an overlapping-window sweep, which propagates
+    a loop correction only one window-overlap per pass, so the far end of
+    the chain never feels the whole constraint set jointly.
+
+    Solver: Schur complement on the landmarks with the reduced
+    (9W+8)-dim camera system solved MATRIX-FREE by block-Jacobi
+    preconditioned CG. The dense window solver (vi_window_ba)
+    materializes an (M, 9W+6, 3) coupling tensor and jacfwd's the whole
+    stacked residual against the full state — fine at W<=12, hopeless at
+    chain scale. Here:
+      - visual pose blocks are per-factor 6-dim jacfwds (vmapped),
+      - the inertial chain + priors are one small dense jacfwd,
+      - each CG matvec is two einsum/scatter passes over the factor
+        table, so memory stays O(F + M + D^2).
+    Gauge: the oldest chain keyframe's pose is hard-fixed (velocity and
+    bias stay free), as in vi_window_ba.
+    """
+    W = R_wb.shape[0]
+    dt = R_wb.dtype
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=dt)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, dt)
+    M = mp_pos.shape[0]
+    D = 9 * W + 8
+    is_stereo = f_ur >= 0.0
+    w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
+    hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
+    sqrt_walk = jnp.sqrt(walk_info)
+    # the gauge keyframe contributes no pose Jacobian
+    free_kf = (f_kf != 0) & f_valid
+
+    def win_cams(x):
+        d = x[:9 * W].reshape(W, 9)
+        d = d.at[0, :6].set(0.0)                 # hard gauge
+        p = p_wb + d[:, :3]
+        R = lie.normalize_rotation(lie.so3_exp(d[:, 3:6]) @ R_wb)
+        v = vels + d[:, 6:9]
+        bg = bg0 + x[9 * W:9 * W + 3]
+        ba = ba0 + x[9 * W + 3:9 * W + 6]
+        Rc = R @ R_bc
+        pc = jnp.einsum("kij,j->ki", R, t_bc) + p
+        R_cw = jnp.swapaxes(Rc, -1, -2)
+        t_cw = -jnp.einsum("kij,kj->ki", R_cw, pc)
+        return R, p, v, bg, ba, R_cw, t_cw
+
+    g_norm = g / jnp.maximum(jnp.linalg.norm(g), 1e-9)
+    ref_ax = jnp.where(jnp.abs(g_norm[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0], dt),
+                       jnp.asarray([0.0, 1.0, 0.0], dt))
+    e1 = jnp.cross(g_norm, ref_ax)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+    e2 = jnp.cross(g_norm, e1)
+
+    def gravity_of(x):
+        rv = x[9 * W + 6] * e1 + x[9 * W + 7] * e2
+        return lie.so3_exp(rv) @ g
+
+    def inertial_raw(x):
+        R, p, v, bg, ba, _, _ = win_cams(x)
+        g_cur = gravity_of(x)
+
+        def one(i):
+            st = jax.tree.map(lambda a: a[i], preints)
+            r = imu.inertial_residual(st, R[i], v[i], p[i],
+                                      R[i + 1], v[i + 1], p[i + 1],
+                                      bg, ba, g_cur)
+            L = imu.sqrt_information(st)
+            ok = preint_valid[i] & kf_mask[i] & kf_mask[i + 1]
+            return jnp.where(ok, L.T @ r, 0.0)
+
+        return jax.vmap(one)(jnp.arange(W - 1))
+
+    def inprior_res(x, si):
+        ri = inertial_raw(x) * si[:, None]
+        rb = x[9 * W:9 * W + 6] * sqrt_walk
+        rgd = x[9 * W + 6:] * 20.0              # weak gravity-dir prior
+        rg = x[:6] * 1.0                        # Tikhonov on gauge tangent
+        return jnp.concatenate([ri.reshape(-1), rb, rgd, rg])
+
+    # per-factor visual residual as a function of its OWN keyframe's
+    # 6-dim pose tangent (velocity/bias don't enter the projection)
+    def f_res6(d6, Rk, pk, X, uv, ur, stereo):
+        p = pk + d6[:3]
+        R = lie.so3_exp(d6[3:6]) @ Rk
+        Rc = R @ R_bc
+        pc = R @ t_bc + p
+        Xc = Rc.T @ (X - pc)
+        uvp = cameras.project(model, params, Xc[None])[0]
+        z = jnp.maximum(Xc[2], 1e-6)
+        urp = uvp[0] - bf / z
+        r3 = jnp.where(stereo, ur - urp, 0.0)
+        return jnp.concatenate([uv - uvp, r3[None]]), Xc
+
+    f_jac6 = jax.vmap(jax.jacfwd(f_res6, argnums=0, has_aux=True),
+                      in_axes=(None, 0, 0, 0, 0, 0, 0))
+
+    def point_jac(Rf, Xc, stereo):
+        z = Xc[..., 2]
+        Jproj = cameras.project_jac(model, params, Xc)
+        zc = jnp.maximum(z, 1e-6)
+        dur = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(zc), jnp.zeros_like(zc), bf / (zc * zc)], -1)
+        J3 = jnp.concatenate([Jproj, dur[:, None, :]], 1)
+        J3 = J3 * jnp.where(
+            stereo[:, None, None], jnp.ones((1, 3, 1), dt),
+            jnp.asarray([1.0, 1.0, 0.0], dt)[None, :, None])
+        return -jnp.einsum("fij,fjk->fik", J3, Rf)
+
+    idx6 = (9 * jnp.arange(W)[:, None]
+            + jnp.arange(6)[None, :]).reshape(-1)      # pose cols in x
+
+    def emb6(w6):                                      # (W,6) -> (D,)
+        return jnp.zeros((D,), dt).at[idx6].add(w6.reshape(-1))
+
+    def ext6(v):                                       # (D,) -> (W,6)
+        return v[:9 * W].reshape(W, 9)[:, :6]
+
+    touched = jnp.zeros((M,), bool).at[f_pt].max(f_valid)
+
+    def gn(it, carry):
+        x, P_all = carry
+        _, _, _, _, _, R_cw, t_cw = win_cams(x)
+        X = P_all[f_pt]
+        # per-factor residuals + pose Jacobians at the current state
+        d0 = jnp.zeros(6, dt)
+        rv, Xc = jax.vmap(f_res6, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            d0, R_wb_cur(x)[0][f_kf], R_wb_cur(x)[1][f_kf],
+            X, f_uv, f_ur, is_stereo)
+        J6, _ = f_jac6(d0, R_wb_cur(x)[0][f_kf], R_wb_cur(x)[1][f_kf],
+                       X, f_uv, f_ur, is_stereo)
+        chi2 = jnp.sum(rv * rv, -1) * w_info
+        w = robust.huber_weight(chi2, hub_d2) * w_info * (Xc[..., 2] > 1e-2)
+        sw = jax.lax.stop_gradient(jnp.sqrt(w))
+        J6w = J6 * (sw * free_kf)[:, None, None]
+        Jpw = point_jac(R_cw[f_kf], Xc, is_stereo) * sw[:, None, None]
+        rvw = rv * sw[:, None]
+
+        # inertial chain + priors: small dense jacfwd
+        ri = inertial_raw(x)
+        chi2_i = jnp.sum(ri * ri, -1)
+        si = jax.lax.stop_gradient(
+            jnp.sqrt(robust.huber_weight(chi2_i, 16.92)))
+        r_in = inprior_res(x, si)
+        J_in = jax.jacfwd(inprior_res)(x, si)          # (Rin, D)
+
+        # camera-side Hessian: dense inertial part + visual block-diag
+        Hxx = J_in.T @ J_in
+        Hv = jnp.zeros((W, 6, 6), dt).at[f_kf].add(
+            jnp.einsum("fij,fik->fjk", J6w, J6w))
+        rows = (9 * jnp.arange(W)[:, None, None] + jnp.arange(6)[None, :, None])
+        cols = (9 * jnp.arange(W)[:, None, None] + jnp.arange(6)[None, None, :])
+        Hxx = Hxx.at[jnp.broadcast_to(rows, (W, 6, 6)),
+                     jnp.broadcast_to(cols, (W, 6, 6))].add(Hv)
+        bx = -(J_in.T @ r_in) - emb6(
+            jnp.zeros((W, 6), dt).at[f_kf].add(
+                jnp.einsum("fij,fi->fj", J6w, rvw)))
+
+        # landmark blocks
+        Hpp = jnp.zeros((M, 3, 3), dt).at[f_pt].add(
+            jnp.einsum("fij,fik->fjk", Jpw, Jpw))
+        bp = jnp.zeros((M, 3), dt).at[f_pt].add(
+            -jnp.einsum("fij,fi->fj", Jpw, rvw))
+        Hpp = Hpp + 1e-3 * jax.vmap(
+            lambda h: jnp.diag(jnp.diag(h)))(Hpp) \
+            + 1e-6 * jnp.eye(3, dtype=dt)
+        Hpp_inv = lie.inv3x3(Hpp)
+        Hxx = Hxx + 1e-3 * jnp.diag(jnp.diag(Hxx)) \
+            + 1e-6 * jnp.eye(D, dtype=dt)
+
+        def W_t_apply(v):
+            """(D,) -> (M,3): W^T v = sum_f Jpw^T (J6w v_kf)."""
+            v6 = ext6(v)[f_kf]
+            y = jnp.einsum("fij,fj->fi", J6w, v6)
+            return jnp.zeros((M, 3), dt).at[f_pt].add(
+                jnp.einsum("fij,fi->fj", Jpw, y))
+
+        def W_apply(zp):
+            """(M,3) -> (D,): W z = sum_f J6w^T (Jpw z_pf)."""
+            zf = jnp.einsum("fij,fj->fi", Jpw, zp[f_pt])
+            return emb6(jnp.zeros((W, 6), dt).at[f_kf].add(
+                jnp.einsum("fij,fi->fj", J6w, zf)))
+
+        def S_apply(v):
+            u = W_t_apply(v)
+            q = jnp.einsum("pxy,py->px", Hpp_inv, u)
+            return Hxx @ v - W_apply(q)
+
+        b_red = bx - W_apply(jnp.einsum("pxy,py->px", Hpp_inv, bp))
+
+        # block-Jacobi preconditioner from Hxx diagonal blocks
+        blk9 = Hxx[:9 * W, :9 * W].reshape(W, 9, W, 9)
+        blk9 = jax.vmap(lambda i: blk9[i, :, i, :])(jnp.arange(W))
+        blk9_inv = jnp.linalg.inv(blk9)
+        tail_inv = jnp.linalg.inv(Hxx[9 * W:, 9 * W:])
+
+        def prec(r):
+            r9 = jnp.einsum("wij,wj->wi", blk9_inv,
+                            r[:9 * W].reshape(W, 9)).reshape(-1)
+            return jnp.concatenate([r9, tail_inv @ r[9 * W:]])
+
+        def cg_step(carry, _):
+            xk, rk, zk, pk = carry
+            Ap = S_apply(pk)
+            denom = jnp.maximum(pk @ Ap, 1e-20)
+            alpha = (rk @ zk) / denom
+            xk2 = xk + alpha * pk
+            rk2 = rk - alpha * Ap
+            zk2 = prec(rk2)
+            beta = (rk2 @ zk2) / jnp.maximum(rk @ zk, 1e-20)
+            return (xk2, rk2, zk2, zk2 + beta * pk), None
+
+        z0 = prec(b_red)
+        (dx, _, _, _), _ = jax.lax.scan(
+            cg_step, (jnp.zeros(D, dt), b_red, z0, z0), None,
+            length=cg_iters)
+
+        dxp = jnp.einsum("pxy,py->px", Hpp_inv, bp - W_t_apply(dx))
+        return x + dx, P_all + dxp * touched[:, None]
+
+    def R_wb_cur(x):
+        d = x[:9 * W].reshape(W, 9)
+        d = d.at[0, :6].set(0.0)
+        p = p_wb + d[:, :3]
+        R = lie.normalize_rotation(lie.so3_exp(d[:, 3:6]) @ R_wb)
+        return R, p
+
+    x0 = jnp.zeros(D, dt)
+    x, P_new = jax.lax.fori_loop(0, n_iters, gn, (x0, mp_pos))
+    R, p, v, bg, ba, _, _ = win_cams(x)
+    return VIWindowResult(R_wb=R, p_wb=p, vels=v, bg=bg, ba=ba,
+                          mp_pos=P_new, g=gravity_of(x),
+                          cost=jnp.zeros((), dt))
+
+
 class InertialInitResult(NamedTuple):
     R_wg: jnp.ndarray    # (3,3) gravity direction (g_world = R_wg [0,0,-G])
     bg: jnp.ndarray

@@ -14,6 +14,7 @@ recognition only ever sees sparsified keyframes
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -35,18 +36,14 @@ class SparsifyOut(NamedTuple):
 
 @partial(jax.jit, static_argnames=("grid_w", "grid_h", "img_w", "img_h",
                                    "pt_cap", "n_outkf"))
-def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
-                    win_mask: jnp.ndarray,
-                    n_req: jnp.ndarray, lam: jnp.ndarray,
-                    lam_grid: jnp.ndarray,
-                    grid_w: int, grid_h: int, img_w: int, img_h: int,
-                    pt_cap: int, n_outkf: int) -> SparsifyOut:
-    """Run the selector over one keyframe window and apply the result.
-
-    Builds the observation table (window rows + pro-rated out-of-window
-    observer rows, ref MapSparsification.cc:125-151), solves, deletes
-    unselected points, marks + compacts the window keyframes.
-    """
+def build_window_tables(ms: M.MapState, win_idx: jnp.ndarray,
+                        win_mask: jnp.ndarray, n_req: jnp.ndarray,
+                        grid_w: int, grid_h: int, img_w: int, img_h: int,
+                        pt_cap: int, n_outkf: int):
+    """Assemble one window's selection instance: observation table rows
+    for the window keyframes plus pro-rated out-of-window observers (ref
+    MapSparsification.cc:61-151). Returns (obs_pt, obs_cell, obs_ok,
+    cost, pt_idx, pt_valid, req)."""
     Mc = ms.mp_pos.shape[0]
     Kc, N = ms.obs_mp.shape
     n_cells = grid_w * grid_h
@@ -98,6 +95,31 @@ def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
     obs_count = jnp.where(pt_valid, n_obs_all[pt_idx], 0)
     max_obs = jnp.max(obs_count)
     cost = (max_obs - obs_count).astype(jnp.float32)
+    return obs_pt, obs_cell, obs_ok, cost, pt_idx, pt_valid, req
+
+
+@partial(jax.jit, static_argnames=("grid_w", "grid_h", "img_w", "img_h",
+                                   "pt_cap", "n_outkf"))
+def sparsify_window(ms: M.MapState, win_idx: jnp.ndarray,
+                    win_mask: jnp.ndarray,
+                    n_req: jnp.ndarray, lam: jnp.ndarray,
+                    lam_grid: jnp.ndarray,
+                    grid_w: int, grid_h: int, img_w: int, img_h: int,
+                    pt_cap: int, n_outkf: int) -> SparsifyOut:
+    """Run the selector over one keyframe window and apply the result.
+
+    Builds the observation table (window rows + pro-rated out-of-window
+    observer rows, ref MapSparsification.cc:125-151), solves, deletes
+    unselected points, marks + compacts the window keyframes.
+    """
+    Mc = ms.mp_pos.shape[0]
+    Kc, N = ms.obs_mp.shape
+    n_cells = grid_w * grid_h
+    win_mask = win_mask & ms.kf_valid[win_idx]
+    (obs_pt, obs_cell, obs_ok, cost, pt_idx, pt_valid,
+     req) = build_window_tables(ms, win_idx, win_mask, n_req,
+                                grid_w, grid_h, img_w, img_h,
+                                pt_cap, n_outkf)
 
     res = select.select_points(obs_pt, obs_cell, obs_ok, cost, pt_valid,
                                req, lam=lam, lam_grid=lam_grid,
@@ -219,6 +241,24 @@ class Sparsifier:
         win_mask = np.zeros(Ws, bool)
         win_idx[:len(batch)] = batch
         win_mask[:len(batch)] = True
+        dump_dir = os.environ.get("MSSLAM_DUMP_WINDOWS")
+        if dump_dir:
+            # diagnostic: persist the exact selection instance this window
+            # solves, for offline comparison against the exact ILP
+            tabs = build_window_tables(
+                sys.ms, jnp.asarray(win_idx), jnp.asarray(win_mask),
+                jnp.asarray(self.n_req),
+                grid_w=sys.cfg.map.grid_w, grid_h=sys.cfg.map.grid_h,
+                img_w=sys.calib.width, img_h=sys.calib.height,
+                pt_cap=sys.cfg.map.local_mp_cap * 2, n_outkf=8)
+            names = ("obs_pt", "obs_cell", "obs_ok", "cost", "pt_idx",
+                     "pt_valid", "req")
+            os.makedirs(dump_dir, exist_ok=True)
+            np.savez(os.path.join(
+                dump_dir, f"window_{self._stats['windows']:03d}.npz"),
+                **{k: np.asarray(v) for k, v in zip(names, tabs)},
+                lam=self.lam, lam_grid=self.lam_grid,
+                n_cells=sys.cfg.map.grid_w * sys.cfg.map.grid_h)
         out = sparsify_window(
             sys.ms, jnp.asarray(win_idx), jnp.asarray(win_mask),
             jnp.asarray(self.n_req), jnp.asarray(self.lam, jnp.float32),

@@ -1690,12 +1690,16 @@ class System:
     def _full_inertial_ba(self):
         """FullInertialBA analog (ref Optimizer::FullInertialBA,
         src/Optimizer.cc:366, run after loop correction in IMU mode via
-        RunGlobalBundleAdjustment, src/LoopClosing.cc:2228-2230): the
-        visual global BA has already refined poses+landmarks; this adds the
-        whole-chain inertial constraints. The reference optimizes EVERY
-        temporal keyframe in one g2o graph; here an oldest-to-newest sweep
-        of overlapping VI windows covers the full chain of the active map
-        with a bounded per-solve state dimension (9W+6)."""
+        RunGlobalBundleAdjustment, src/LoopClosing.cc:2228-2230): ONE
+        joint optimization over the active map's whole temporal chain —
+        poses, velocities, shared bias, gravity direction, and landmarks,
+        matching the reference's single g2o graph. The chain length is
+        bucketed to a power of two (pad keyframes masked out) so repeated
+        corrections reuse the compiled Schur-CG program
+        (ops/inertial_opt.vi_full_ba)."""
+        import jax
+        from ..ops import imu as imu_ops
+        from ..ops import inertial_opt
         n = len(self.kf_order)
         if n < 3:
             return
@@ -1709,16 +1713,96 @@ class System:
         chain = n - start0
         if chain < 3:
             return
-        Wc, step = 12, 8
-        if chain <= Wc:
-            starts = [start0]
-        else:
-            starts = list(range(start0, n - Wc + 1, step))
-            if starts[-1] + Wc < n:
-                starts.append(n - Wc)
-        for s in starts:
-            self._inertial_window_ba(self.kf_order[min(s + Wc, n) - 1],
-                                     W=min(Wc, n - s), start=s)
+        Wb = max(8, 1 << (chain - 1).bit_length())
+        slots = self.kf_order[start0:]
+        Kc = self.ms.kf_valid.shape[0]
+        # pad rows scatter out-of-bounds (mode="drop") so duplicate slot
+        # writes can never clobber a real row with a stale pose
+        sl_np = np.concatenate([np.asarray(slots, np.int32),
+                                np.full(Wb - chain, Kc, np.int32)])
+        pad_mask = np.zeros(Wb, bool)
+        pad_mask[:chain] = True
+        segs = self._kf_imu_segments[start0 + 1:start0 + chain]
+        cap = max(max((len(x) for x in segs), default=1), 1)
+        cap = 1 << (cap - 1).bit_length()
+        meas = np.zeros((Wb - 1, cap, 7), np.float32)
+        valid = np.zeros((Wb - 1, cap), bool)
+        pv = np.zeros(Wb - 1, bool)
+        for i, seg in enumerate(segs):
+            meas[i, :len(seg)] = seg
+            valid[i, :len(seg)] = True
+            pv[i] = len(seg) > 0
+        bias = jnp.asarray(self.imu_bias)
+        cfg = self.cfg
+        sts = jax.vmap(
+            lambda m, v: imu_ops.integrate(
+                bias, m, v, jnp.asarray(cfg.imu_noise_gyro),
+                jnp.asarray(cfg.imu_noise_acc),
+                jnp.asarray(cfg.imu_gyro_walk),
+                jnp.asarray(cfg.imu_acc_walk)))(
+            jnp.asarray(meas), jnp.asarray(valid))
+        sl = jnp.asarray(np.minimum(sl_np, Kc - 1))
+        R_cw = self.ms.kf_R[sl]
+        t_cw = self.ms.kf_t[sl]
+        R_wc = jnp.swapaxes(R_cw, -1, -2)
+        p_wc = -jnp.einsum("kij,kj->ki", R_wc, t_cw)
+        Rcb = jnp.asarray(self.Tcb[:3, :3], R_cw.dtype)
+        pcb = jnp.asarray(self.Tcb[:3, 3], R_cw.dtype)
+        R_wb = R_wc @ Rcb
+        p_wb = jnp.einsum("kij,j->ki", R_wc, pcb) + p_wc
+        kf_mask = self.ms.kf_valid[sl] & jnp.asarray(pad_mask)
+        obs = self.ms.obs_mp[sl]                      # (Wb,N)
+        f_valid = (obs >= 0) & self.ms.kp_valid[sl] & kf_mask[:, None]
+        Wn = obs.shape[1]
+        f_kf = jnp.broadcast_to(
+            jnp.arange(Wb, dtype=jnp.int32)[:, None], (Wb, Wn)).reshape(-1)
+        s2 = jnp.asarray(
+            [sc * sc for sc in self.orb.level_scales()], jnp.float32)
+        vels = self.kf_velocities[np.minimum(sl_np, Kc - 1)]
+        res = inertial_opt.vi_full_ba(
+            self.calib.model, self.calib.params_array(),
+            jnp.asarray(self.calib.bf),
+            R_wb, p_wb, jnp.asarray(vels), kf_mask,
+            sts, jnp.asarray(pv),
+            jnp.asarray(self.imu_bias[:3]), jnp.asarray(self.imu_bias[3:]),
+            jnp.asarray(self.gravity),
+            self.ms.mp_pos,
+            jnp.clip(obs, 0).reshape(-1), f_kf,
+            self.ms.kp_xy[sl].reshape(-1, 2),
+            self.ms.kp_uright[sl].reshape(-1),
+            s2[self.ms.kp_octave[sl]].reshape(-1), f_valid.reshape(-1),
+            walk_info=jnp.full(6, 1e8),
+            R_bc=jnp.asarray(self.Tbc[:3, :3], R_cw.dtype),
+            t_bc=jnp.asarray(self.Tbc[:3, 3], R_cw.dtype))
+        ok_pack = np.asarray(jnp.stack([
+            jnp.all(jnp.isfinite(res.R_wb)), jnp.all(jnp.isfinite(res.p_wb)),
+            jnp.all(jnp.isfinite(res.vels)), jnp.all(jnp.isfinite(res.g)),
+            jnp.all(jnp.isfinite(res.bg)), jnp.all(jnp.isfinite(res.ba)),
+            jnp.all(jnp.isfinite(res.mp_pos))]))
+        if not ok_pack.all():
+            return
+        self.ms = self.ms._replace(mp_pos=res.mp_pos)
+        Rbc = jnp.asarray(self.Tbc[:3, :3], R_cw.dtype)
+        pbc = jnp.asarray(self.Tbc[:3, 3], R_cw.dtype)
+        R_wc_new = res.R_wb @ Rbc
+        p_wc_new = jnp.einsum("kij,j->ki", res.R_wb, pbc) + res.p_wb
+        R_cw_new = jnp.swapaxes(R_wc_new, -1, -2)
+        t_cw_new = -jnp.einsum("kij,kj->ki", R_cw_new, p_wc_new)
+        sl_scatter = jnp.asarray(sl_np)
+        self.ms = self.ms._replace(
+            kf_R=self.ms.kf_R.at[sl_scatter].set(
+                jnp.where(kf_mask[:, None, None], R_cw_new,
+                          self.ms.kf_R[sl]), mode="drop"),
+            kf_t=self.ms.kf_t.at[sl_scatter].set(
+                jnp.where(kf_mask[:, None], t_cw_new,
+                          self.ms.kf_t[sl]), mode="drop"))
+        self.kf_velocities[slots] = np.asarray(res.vels[:chain])
+        self.imu_bias = np.concatenate(
+            [np.asarray(res.bg), np.asarray(res.ba)]).astype(np.float32)
+        self.gravity = np.asarray(res.g).astype(np.float32)
+        self.vel_w = self.kf_velocities[slots[-1]]
+        self._v_dev = None
+        self._bias_dev = None
 
     def _inertial_window_ba(self, new_slot: int, W: int | None = None,
                             start: int | None = None):
