@@ -37,14 +37,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def circuit(n_frames: int, radius: float = 9.0):
+def circuit(n_frames: int, radius: float = 9.0, lap: int = 1000):
     """Closed loop: drive a circle of the given radius facing forward,
-    ending where it started (KITTI-00's loop structure in miniature)."""
+    then keep driving INTO a second lap (KITTI-00's loop structure in
+    miniature — the revisit is an extended moving overlap, not a parked
+    endpoint, so place recognition gets a stream of revisit keyframes to
+    confirm against, ref LoopClosing's 3-consecutive rule)."""
     from scipy.spatial.transform import Rotation
     poses = []
     for i in range(n_frames):
-        a = 2 * np.pi * i / (n_frames - 20)      # close before the end
-        a = min(a, 2 * np.pi)
+        a = 2 * np.pi * i / lap
         T = np.eye(4)
         # camera at radius, facing tangentially (z forward)
         T[:3, :3] = Rotation.from_euler("y", a).as_matrix()
@@ -55,7 +57,7 @@ def circuit(n_frames: int, radius: float = 9.0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--frames", type=int, default=1500)
     ap.add_argument("--no-sparsify", action="store_true",
                     help="bisect: odometry+loop only")
     ap.add_argument("--no-loop", action="store_true",

@@ -200,7 +200,11 @@ def select_points(
         sole_cnt = jnp.zeros((P + 1,), jnp.float32).at[
             jnp.where(sole, pt, P).reshape(-1)].add(1.0)[:P]
         gain = cost - lam_grid * sole_cnt
-        cand_p = keep & (gain > 0)
+        # zero-cost points (obs == maxObs) that cover no sole cell are
+        # objective-INDIFFERENT to the ILP; drop them when row slack
+        # allows — GUROBI's optima leave unneeded variables at 0, and the
+        # kept-fraction/memory metric is what sparsification exists for
+        cand_p = keep & ((gain > 0) | ((cost <= 0) & (sole_cnt == 0)))
         # a point kept by a row with no slack can never drop this round;
         # excluding it up front keeps it from occupying a rank slot
         veto0 = kept_obs & (slack == 0)[:, None]

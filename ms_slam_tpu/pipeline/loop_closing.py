@@ -591,7 +591,7 @@ class LoopCloser:
             if m == active:
                 sys.kf_maps[i] = target
         sys.active_map = target
-        self._fuse_and_optimize(cur, match)
+        self._fuse_and_optimize(cur, match, weld=True)
 
     def _rigid_correct(self, cur, match, s_cm, R_cm, t_cm, win):
         """Corrected S_cw(cur) = S_cm * T_mw (scale s_cm, =1 unless mono)."""
@@ -605,7 +605,46 @@ class LoopCloser:
             jnp.asarray(Rc, jnp.float32),
             jnp.asarray(tc, jnp.float32), jnp.asarray(cur))
 
-    def _fuse_and_optimize(self, cur: int, match: int):
+    def _weld_ba(self, cur: int, match: int):
+        """Seam-local welding BA (ref MergeLocal's local BA around the
+        weld with fixed scaffolding keyframes from the target map,
+        src/LoopClosing.cc:1171): refine the moved side's seam window and
+        its points against the target side, so a coarse merge Sim3 is
+        absorbed locally instead of having to be soaked up by the
+        essential graph and global BA."""
+        from . import mapping_ops as mo
+        sys = self.sys
+        ms = sys.ms
+        Wk = Fk = 8
+        pk = np.asarray(jnp.stack([
+            M.covisibility_counts(ms, jnp.asarray(cur)),
+            M.covisibility_counts(ms, jnp.asarray(match))]))
+        kf_valid = np.asarray(ms.kf_valid)
+        covis_c = np.where(kf_valid, pk[0], 0)
+        covis_m = np.where(kf_valid, pk[1], 0)
+        win = [cur] + [int(i) for i in np.argsort(-covis_c)
+                       if covis_c[i] > 0 and i != cur][:Wk - 1]
+        wset = set(win)
+        fix = [match] + [int(i) for i in np.argsort(-covis_m)
+                         if covis_m[i] > 0 and i != match
+                         and i not in wset][:Fk - 1]
+        win_idx = np.zeros(Wk, np.int32)
+        win_mask = np.zeros(Wk, bool)
+        win_idx[:len(win)] = win
+        win_mask[:len(win)] = True
+        fix_idx = np.zeros(Fk, np.int32)
+        fix_mask = np.zeros(Fk, bool)
+        fix_idx[:len(fix)] = fix
+        fix_mask[:len(fix)] = True
+        out = mo.local_ba(ms, sys.calib, sys.orb,
+                          jnp.asarray(win_idx), jnp.asarray(win_mask),
+                          jnp.asarray(fix_idx), jnp.asarray(fix_mask),
+                          n_fixed=Fk, pt_cap=sys.cfg.map.local_mp_cap,
+                          n_iters=10)
+        sys.ms = out.ms
+        sys._obs_dirty = True
+
+    def _fuse_and_optimize(self, cur: int, match: int, weld: bool = False):
         sys = self.sys
         # re-point stale point->reference-keyframe links before the graph
         # moves points by their reference's pose delta (slots recycle)
@@ -623,6 +662,10 @@ class LoopCloser:
         sys._obs_dirty = True
         sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
                                    jnp.asarray(cur), c_idx, c_valid)
+        if weld:
+            # map merge: seam-local BA before the graph (ref MergeLocal)
+            self._weld_ba(cur, match)
+            ms = sys.ms
 
         # essential graph: temporal chain (spanning-tree analog, via
         # kf_order since pool slots are recycled) + strong covisibility

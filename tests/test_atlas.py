@@ -32,6 +32,39 @@ def test_new_map_and_merge(rng):
         # path itself is covered by test_recently_lost below)
         t_recently_lost=0.3)
     slam = System(cfg)
+
+    # instrument the merge welding BA (VERDICT r4 #8, ref MergeLocal's
+    # seam-local BA with fixed scaffolding, src/LoopClosing.cc:1171):
+    # seam reprojection error around the current keyframe must DROP
+    # before the essential graph / global BA run
+    def seam_rmse(cur):
+        import jax.numpy as jnp
+        from ms_slam_tpu.models import map_state as M
+        from ms_slam_tpu.ops import cameras
+        ms = slam.ms
+        covis = np.array(M.covisibility_counts(ms, jnp.asarray(cur)))
+        win = [cur] + [int(i) for i in np.argsort(-covis)
+                       if covis[i] > 0][:7]
+        sl = jnp.asarray(win)
+        obs = ms.obs_mp[sl]
+        valid = (obs >= 0) & ms.kp_valid[sl]
+        X = ms.mp_pos[jnp.clip(obs, 0)]
+        Xc = jnp.einsum("kij,knj->kni", ms.kf_R[sl], X) + ms.kf_t[sl][:, None]
+        uv = cameras.project(calib.model, calib.params_array(),
+                             Xc.reshape(-1, 3)).reshape(Xc.shape[0], -1, 2)
+        e = jnp.linalg.norm(uv - ms.kp_xy[sl], axis=-1)
+        ok = valid & (Xc[..., 2] > 0.05)
+        return float(jnp.sqrt(jnp.sum(jnp.where(ok, e * e, 0.0))
+                              / jnp.maximum(jnp.sum(ok), 1)))
+
+    weld_log = []
+    orig_weld = None
+
+    def weld_spy(cur, match):
+        before = seam_rmse(cur)
+        orig_weld(cur, match)
+        weld_log.append((before, seam_rmse(cur)))
+
     world = synth.BoxWorld(rng, half=7.0)
     # orbit: first 30 frames map, then 22 blind frames while the (virtual)
     # camera keeps moving, then re-see mapped walls and continue 20 frames
@@ -41,6 +74,9 @@ def test_new_map_and_merge(rng):
     poses = poses + poses[:20]
     black = np.zeros((H, W), np.float32)
 
+    orig_weld = slam._loop_closer._weld_ba
+    slam._loop_closer._weld_ba = weld_spy
+
     for i, T_wc in enumerate(poses):
         if 30 <= i < 52:
             im_l = im_r = black
@@ -49,6 +85,10 @@ def test_new_map_and_merge(rng):
         slam.track_stereo(im_l, im_r, 0.1 * i)
 
     lc = slam._loop_closer
+    # the welding BA ran on every merge and reduced seam error
+    assert len(weld_log) >= 1
+    for before, after in weld_log:
+        assert after <= before + 1e-6, (before, after)
     assert slam.active_map != 0 or slam.state == "OK"
     # a second map must have been created during the blind stretch
     assert max(slam.kf_maps) >= 1 or lc.stats.get("merges", 0) >= 1, (
