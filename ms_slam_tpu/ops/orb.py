@@ -24,6 +24,7 @@ whole system is self-consistent so no binary compatibility is needed.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -712,8 +713,19 @@ def extract_patches_canvas_pallas(canvas: jnp.ndarray, ys, xs,
         _patch_kernel_body(E, H, Wc, K, nb * K),
         out_shape=jax.ShapeDtypeStruct((B, nb * K, E, E), jnp.float32),
         grid_spec=grid_spec,
+        # off-TPU (parity tests) the Mosaic kernel runs interpreted
+        interpret=jax.default_backend() != "tpu",
     )(ysp, xsp, canvas)
     return out[:, :n_per_img].reshape(B * n_per_img, E, E)
+
+
+def _tpu_numerics() -> bool:
+    """True when the bf16-canvas + Pallas patch path should run: on real
+    TPU, or when MSSLAM_FORCE_TPU_NUMERICS=1 forces it on CPU (Pallas in
+    interpret mode) so the TPU numerics are covered by the committed CPU
+    test suite (tests/test_orb.py TPU-parity test)."""
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("MSSLAM_FORCE_TPU_NUMERICS") == "1")
 
 
 def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
@@ -728,11 +740,11 @@ def extract_canvas_multi(imgs: jnp.ndarray, cfg: OrbConfig):
     # the traffic. Pixel values 0..255 are exact in bf16; the pyramid is
     # built in f32 first so the bilinear resample keeps full precision.
     # (CPU stays f32: no bandwidth win, and the tests pin CPU numerics.)
-    if jax.default_backend() == "tpu":
+    if _tpu_numerics():
         canvas = canvas.astype(jnp.bfloat16)
     lv, ys, xs, sc, va = detect_canvas(canvas, w, cfg)   # (B,N) each
     n = cfg.n_features
-    if jax.default_backend() == "tpu":
+    if _tpu_numerics():
         patches = extract_patches_canvas_pallas(
             canvas, ys.reshape(-1), xs.reshape(-1)).astype(jnp.float32)
     else:

@@ -1422,14 +1422,22 @@ class System:
         if best is None:
             return None
         _, c, out = best
-        # refine: projection search around the PnP pose (ref Relocalization
-        # widening searches, src/Tracking.cc:3741-3800)
+        # refine: the reference's widening-then-narrowing projection
+        # cascade (src/Tracking.cc:3741-3800) — first a coarse radius-10
+        # harvest around the PnP pose, re-optimize, then a narrow radius-3
+        # pass with a tighter descriptor ratio around the refined pose
         ref = to.track_points(
             self.ms, self.calib, self.orb, frame, out.R, out.t,
             jnp.clip(self.ms.obs_mp[c], 0), self.ms.obs_mp[c] >= 0,
             jnp.asarray(10.0), jnp.asarray(0.9))
         if int(ref.n_inliers) >= int(out.n_inliers):
             out = ref
+            ref2 = to.track_points(
+                self.ms, self.calib, self.orb, frame, out.R, out.t,
+                jnp.clip(self.ms.obs_mp[c], 0), self.ms.obs_mp[c] >= 0,
+                jnp.asarray(3.0), jnp.asarray(0.75))
+            if int(ref2.n_inliers) >= int(out.n_inliers):
+                out = ref2
         self.ref_kf = c
         # cross-map hit: tracking continues in the matched keyframe's map,
         # so the Atlas active-map label must follow (ref scopes candidates
