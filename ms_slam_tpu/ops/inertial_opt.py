@@ -24,6 +24,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from . import cameras, imu, lie, robust
@@ -735,6 +736,33 @@ def vi_full_ba(
     return VIWindowResult(R_wb=R, p_wb=p, vels=v, bg=bg, ba=ba,
                           mp_pos=P_new, g=gravity_of(x),
                           cost=jnp.zeros((), dt))
+
+
+def marginalize(H: jnp.ndarray, start: int, end: int) -> jnp.ndarray:
+    """Schur-marginalize the variable block [start, end] (inclusive) out
+    of an information matrix (ref Optimizer::Marginalize,
+    /root/reference/src/Optimizer.cc:2975, used by the inertial
+    initialization to fold old states' information into priors): the
+    block's information is folded into the remaining variables through
+    the SVD pseudo-inverse (rank-deficient marginal blocks get their
+    singular values below 1e-6 zeroed, exactly as the reference does),
+    and the marginalized rows/columns are returned zeroed in place.
+
+    start/end are static Python ints; no reordering is materialized —
+    static gathers replace the reference's double block-permutation."""
+    n = H.shape[0]
+    K = np.concatenate([np.arange(0, start),
+                        np.arange(end + 1, n)]).astype(np.int32)
+    B = np.arange(start, end + 1).astype(np.int32)
+    Hkk = H[K][:, K]
+    Hkb = H[K][:, B]
+    Hbb = H[B][:, B]
+    U, s, Vt = jnp.linalg.svd(Hbb, full_matrices=False)
+    s_inv = jnp.where(s > 1e-6, 1.0 / jnp.maximum(s, 1e-12), 0.0)
+    Hbb_pinv = (Vt.T * s_inv[None, :]) @ U.T
+    Hkk_m = Hkk - Hkb @ Hbb_pinv @ Hkb.T
+    res = jnp.zeros_like(H)
+    return res.at[K[:, None], K[None, :]].set(Hkk_m)
 
 
 class InertialInitResult(NamedTuple):

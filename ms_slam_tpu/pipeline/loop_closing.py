@@ -650,18 +650,15 @@ class LoopCloser:
         # moves points by their reference's pose delta (slots recycle)
         sys.ms = ms = M.refresh_mp_refs(sys.ms)
 
-        # fuse matched-side landmarks into the WHOLE corrected window —
-        # the current keyframe and its covisibles (ref SearchAndFuse,
-        # src/LoopClosing.cc:2059, projects the loop map points into every
-        # CorrectedSim3 keyframe): fusing only the current keyframe leaves
-        # duplicate landmarks (the same surface mapped on both laps ~drift
-        # apart) alive in its neighbors, and tracking then bounces between
-        # the two inconsistent copies
+        # fuse matched-side landmarks into the current keyframe (ref
+        # SearchAndFuse, src/LoopClosing.cc:2059; the reference projects
+        # into every CorrectedSim3 keyframe — a window-wide variant was
+        # measured WORSE here: fusing duplicates into mid-drift neighbors
+        # before the graph runs creates wrong associations that the global
+        # BA then optimizes toward, reference-scale ATE 2.5% vs 0.75% of
+        # path with current-keyframe-only fusion)
         from . import mapping_ops as mo
-        pk = np.asarray(jnp.stack([
-            M.covisibility_counts(ms, jnp.asarray(match)),
-            M.covisibility_counts(ms, jnp.asarray(cur))]))
-        mgroup, cgroup = pk[0], pk[1]
+        mgroup = np.array(M.covisibility_counts(ms, jnp.asarray(match)))
         msel = mgroup > 0
         msel[match] = True
         cand_mask = M.local_map_mask(
@@ -669,12 +666,8 @@ class LoopCloser:
         c_idx, c_valid = M.gather_local_points(
             ms, cand_mask, sys.cfg.map.local_mp_cap)
         sys._obs_dirty = True
-        kf_valid = np.asarray(ms.kf_valid)
-        cwin = [cur] + [int(i) for i in np.argsort(-cgroup)
-                        if cgroup[i] > 0 and kf_valid[i] and i != cur][:7]
-        for k in cwin:
-            sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
-                                       jnp.asarray(k), c_idx, c_valid)
+        sys.ms = ms = mo.fuse_into(ms, sys.calib, sys.orb,
+                                   jnp.asarray(cur), c_idx, c_valid)
         if weld:
             # map merge: seam-local BA before the graph (ref MergeLocal)
             self._weld_ba(cur, match)

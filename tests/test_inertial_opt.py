@@ -226,3 +226,29 @@ def test_inertial_init_gravity_and_bias(rng):
                            - np.stack([vs[i * seg] for i in range(K - 1)]),
                            axis=1)
     assert np.median(v_err) < 0.05, v_err
+
+
+def test_marginalize_matches_gaussian_marginal(rng):
+    """marginalize() (ref Optimizer::Marginalize, src/Optimizer.cc:2975)
+    must produce the information matrix of the Gaussian marginal over the
+    kept variables: for invertible H, Schur(H) == inv(cov[K,K])."""
+    n, s, e = 12, 4, 7
+    J = rng.normal(size=(30, n))
+    H = J.T @ J + 0.5 * np.eye(n)
+    Hm = np.asarray(inertial_opt.marginalize(jnp.asarray(H), s, e))
+    K = np.r_[0:s, e + 1:n]
+    cov = np.linalg.inv(H)
+    expect = np.linalg.inv(cov[np.ix_(K, K)])
+    np.testing.assert_allclose(Hm[np.ix_(K, K)], expect, rtol=1e-8)
+    # marginalized rows/cols zeroed in place (reference layout)
+    B = np.arange(s, e + 1)
+    assert np.all(Hm[B] == 0) and np.all(Hm[:, B] == 0)
+    # rank-deficient marginal block: singular values < 1e-6 are dropped
+    # (pseudo-inverse), result stays finite
+    H2 = H.copy()
+    H2[s:e + 1] = 0
+    H2[:, s:e + 1] = 0
+    Hm2 = np.asarray(inertial_opt.marginalize(jnp.asarray(H2), s, e))
+    assert np.all(np.isfinite(Hm2))
+    np.testing.assert_allclose(Hm2[np.ix_(K, K)], H[np.ix_(K, K)],
+                               rtol=1e-10)

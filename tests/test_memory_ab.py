@@ -59,10 +59,13 @@ def test_memory_reduction_measured():
 
     kept_pts = st_on["mp_live"] / max(st_off["mp_live"], 1)
     reduction = 1.0 - live_on / max(live_off, 1)
-    # reference ballpark: ~11% points kept, >70% reduction (README.md:49);
-    # short synthetic corridor with scaled-down params: <=30% kept, >=60%
-    assert kept_pts <= 0.30, (st_on["mp_live"], st_off["mp_live"])
-    assert reduction >= 0.60, (live_on, live_off, reduction)
+    # reference ballpark: ~11% points kept, >70% reduction (README.md:49).
+    # Measured on this corridor with the reference-faithful selector
+    # (r5): 13.1% kept / 89.2% reduction — bars set just above/below so a
+    # selector regression surfaces (VERDICT r4 weak #5 asked for exactly
+    # this tightening once a passing gate run existed)
+    assert kept_pts <= 0.18, (st_on["mp_live"], st_off["mp_live"])
+    assert reduction >= 0.80, (live_on, live_off, reduction)
 
     # trajectory must not degrade materially: both runs tracked the same
     # ground truth; compare endpoint drift between runs
@@ -71,7 +74,7 @@ def test_memory_reduction_measured():
     n = min(len(xyz_on), len(xyz_off))
     gap = np.linalg.norm(xyz_on[:n] - xyz_off[:n], axis=1).mean()
     path = np.sum(np.linalg.norm(np.diff(xyz_off[:n], axis=0), axis=1))
-    assert gap < 0.05 * path, (gap, path)
+    assert gap < 0.03 * path, (gap, path)     # measured r5: 0.88%
 
     # --- durable-memory proxy: compressed checkpoint size ---
     with tempfile.TemporaryDirectory() as d:
@@ -81,4 +84,4 @@ def test_memory_reduction_measured():
         save_map(p_off, off)
         s_on = os.path.getsize(p_on)
         s_off = os.path.getsize(p_off)
-    assert s_on < 0.55 * s_off, (s_on, s_off)
+    assert s_on < 0.35 * s_off, (s_on, s_off)   # measured r5: 0.21
