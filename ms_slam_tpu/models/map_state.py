@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MapConfig(NamedTuple):
@@ -132,6 +133,33 @@ def mp_obs_count(ms: MapState) -> jnp.ndarray:
     obs = jnp.where(ms.kf_valid[:, None], ms.obs_mp, -1).reshape(-1)
     sl = jnp.where(obs >= 0, obs, M)  # sentinel M dropped by the scatter
     return jnp.zeros((M,), jnp.int32).at[sl].add(1, mode="drop")
+
+
+def observer_mask(ms: MapState) -> jnp.ndarray:
+    """(M, ceil(K/32)) uint32 per-point observer bitmask: bit k of word w
+    set iff keyframe slot 32w+k observes the point.
+
+    One full-table scatter (~4 ms serialized on TPU) — built once per
+    keyframe step and cached; per-frame consumers (local-keyframe voting)
+    then pay a 2048-row gather instead of their own 262K-element sweep.
+    The scatter is an idempotent boolean max (OR), so duplicate
+    observations a fuse-merge may leave in one row cannot corrupt it."""
+    Mc = ms.mp_pos.shape[0]
+    K, N = ms.obs_mp.shape
+    Wd = (K + 31) // 32
+    obs = jnp.where(ms.kf_valid[:, None], ms.obs_mp, -1)
+    kf_of = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
+    tbl = jnp.zeros((Mc + 1, Wd * 32), jnp.bool_).at[
+        jnp.where(obs >= 0, obs, Mc).reshape(-1),
+        kf_of.reshape(-1)].max(True, mode="drop")[:Mc]
+    # pack bools -> uint32 words: exact f32 byte matvec (values < 256),
+    # then byte shifts — avoids any serialized per-bit loop
+    wts = jnp.asarray(2.0 ** np.arange(8), jnp.float32)
+    by = jnp.einsum("mwbk,k->mwb",
+                    tbl.reshape(Mc, Wd, 4, 8).astype(jnp.float32),
+                    wts).astype(jnp.uint32)
+    return (by[..., 0] | (by[..., 1] << 8) | (by[..., 2] << 16)
+            | (by[..., 3] << 24))
 
 
 def member_table(ids: jnp.ndarray, M: int) -> jnp.ndarray:

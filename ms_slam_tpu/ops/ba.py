@@ -159,9 +159,14 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     pt_opt:  (P,) bool — False = fixed point.
     cam_blocked: promise that the factor table is camera-block-ordered
     (f_cam == repeat(arange(C), F//C), as the (C,N) observation layout
-    produces) — the camera-point coupling W then assembles as C batched
-    MXU matmuls instead of a dense scatter (the scatter is ~40% of the
-    solve at production shapes).
+    produces) AND that each (point, camera) pair appears at most once
+    (true of any real observation table; duplicate entries a fuse-merge
+    remap may leave in one row are deduplicated here, which the reference
+    does too — MapPoint::Replace erases the duplicate observation). The
+    point-block Hessian/coupling then assembles by an inverse-observation
+    table + (P,C)-shaped gathers — a few MB of HBM traffic per iteration
+    instead of the (F,P) one-hot matmuls (268 MB/iteration at production
+    shapes, which dominated the solve).
     """
     C = kf_R.shape[0]
     P = mp_pos.shape[0]
@@ -173,19 +178,74 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
     w_info = jnp.where(f_valid, 1.0 / jnp.maximum(f_sigma2, 1e-12), 0.0)
     hub_d2 = jnp.where(is_stereo, robust.CHI2_3DOF, robust.CHI2_2DOF)
 
-    # one-hot point-assignment matrices: Hessian-block accumulation becomes
-    # MXU matmuls instead of scatter-adds (a TPU scatter serializes).
-    # NOTE: bf16 one-hot accumulation was tried and REVERTED — the 0.4%
-    # Hessian rounding cascades into enough extra chi2 outliers that the
-    # map visibly thins (e2e point counts dropped ~20%).
-    oh_dt = dt
-    oh_p = jax.nn.one_hot(f_pt, P, dtype=oh_dt)                 # (F,P)
-    oh_c = jax.nn.one_hot(f_cam, C, dtype=oh_dt)                # (F,C)
+    if cam_blocked:
+        # inverse observation table: factor row of point p in camera c
+        # (F_ = "none"). Built once; static across iterations.
+        inv_f = jnp.full((P, C), F_, jnp.int32).at[
+            jnp.where(f_valid, jnp.clip(f_pt, 0, P - 1), P),
+            jnp.clip(f_cam, 0, C - 1)].set(
+            jnp.arange(F_, dtype=jnp.int32), mode="drop")
 
-    def oh_matmul(oh, x):
-        return jax.lax.dot_general(
-            oh.T, x.astype(oh_dt), (((1,), (0,)), ((), ())),
-            preferred_element_type=dt)
+        # a duplicate (point, camera) factor lost the inv_f write: zero its
+        # weight everywhere (consistent linearization) and flag it as an
+        # outlier so the caller erases the duplicate observation (the
+        # reference's MapPoint::Replace erase)
+        dup_keep = (inv_f[jnp.clip(f_pt, 0, P - 1),
+                          jnp.clip(f_cam, 0, C - 1)]
+                    == jnp.arange(F_, dtype=jnp.int32))
+        w_info = jnp.where(dup_keep, w_info, 0.0)
+        f_valid = f_valid & dup_keep
+
+        if dt == jnp.float32:
+            # per-camera one-hot (C, N, P) in bf16 (0/1 exact), built once:
+            # point-block accumulation then rides the MXU as a batched
+            # matmul. Values go in as an exact bf16 hi/lo split so the
+            # f32-accumulated result keeps ~f32 precision — plain-bf16
+            # one-hot accumulation was measured to thin the map via
+            # chi2-outlier cascades (0.4% Hessian rounding)
+            Nb = F_ // C
+            oh3 = jax.nn.one_hot(
+                jnp.where(f_valid, jnp.clip(f_pt, 0, P - 1),
+                          P).reshape(C, Nb),
+                P, dtype=jnp.bfloat16)                       # (C,Nb,P)
+
+            def pt_accumulate(x_f):
+                """Σ_f x[f] grouped by (point, camera): (F,k)->(P,C,k)."""
+                k = x_f.shape[-1]
+                v = x_f.reshape(C, Nb, k)
+                # hi part via mantissa masking, NOT v.astype(bf16): XLA's
+                # excess-precision elision folds convert(convert(v,bf16),
+                # f32) back to v, which silently turns `lo` into zero and
+                # degrades the whole accumulation to plain bf16 (measured
+                # 0.2% error — enough to lose tracking e2e). The integer
+                # mask cannot be folded; measured pair error ~1e-5.
+                bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                hi32 = jax.lax.bitcast_convert_type(
+                    bits & jnp.uint32(0xFFFF0000), dt)
+                hi = hi32.astype(jnp.bfloat16)
+                lo = (v - hi32).astype(jnp.bfloat16)
+                acc = (jax.lax.dot_general(
+                           oh3, hi, (((1,), (1,)), ((0,), (0,))),
+                           preferred_element_type=dt)
+                       + jax.lax.dot_general(
+                           oh3, lo, (((1,), (1,)), ((0,), (0,))),
+                           preferred_element_type=dt))       # (C,P,k)
+                return acc.transpose(1, 0, 2)
+        else:
+            # f64 path (tests under jax_enable_x64): inverse-table gather
+            def pt_accumulate(x_f):
+                pad = jnp.concatenate(
+                    [x_f, jnp.zeros((1,) + x_f.shape[1:], x_f.dtype)])
+                return pad[inv_f]                            # (P,C,k)
+    else:
+        # fall back to one-hot matmul accumulation for arbitrary tables
+        oh_p = jax.nn.one_hot(f_pt, P, dtype=dt)   # (F,P)
+        oh_c = jax.nn.one_hot(f_cam, C, dtype=dt)  # (F,C)
+
+        def oh_matmul(oh, x):
+            return jax.lax.dot_general(
+                oh.T, x.astype(dt), (((1,), (0,)), ((), ())),
+                preferred_element_type=dt)
 
     def iteration(state, keep):
         R_all, t_all, P_all = state
@@ -214,22 +274,22 @@ def ba_solve(model: int, params: jnp.ndarray, bf: jnp.ndarray,
             Hcc = oh_matmul(oh_c, outer_c).reshape(C, 6, 6)
             bc = jnp.zeros((C, 6), dt).at[f_cam].add(gc)
         outer_p = jnp.einsum("fij,fik->fjk", JpW, Jp).reshape(F_, 9)
-        Hpp = oh_matmul(oh_p, outer_p).reshape(P, 3, 3)
-        bp = jnp.zeros((P, 3), dt).at[f_pt].add(
-            -jnp.einsum("fij,fi->fj", JpW, res))
+        gp = -jnp.einsum("fij,fi->fj", JpW, res)
         # coupling W_(p,c); camera-major flattening matches the (C*6,)
         # layout of the reduced system
         Wcp = jnp.einsum("fij,fik->fjk", JcW, Jp)       # (F,6,3)
         if cam_blocked:
-            # per-camera batched matmul over the block-ordered table
-            Nb = F_ // C
-            W = jax.lax.dot_general(
-                oh_p.reshape(C, Nb, P),
-                Wcp.reshape(C, Nb, 18).astype(oh_dt),
-                (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=dt)              # (C,P,18)
-            W = W.transpose(1, 0, 2).reshape(P, C, 6, 3)
+            # inverse-table gathers: ONE (P,C,30) row gather (TPU gathers
+            # pay per row, so the three accumulations share one) — a few
+            # MB of traffic vs the (F,P) one-hot matmuls this replaces
+            acc = pt_accumulate(jnp.concatenate(
+                [outer_p, gp, Wcp.reshape(F_, 18)], axis=1))  # (P,C,30)
+            Hpp = acc[..., :9].sum(1).reshape(P, 3, 3)
+            bp = acc[..., 9:12].sum(1)
+            W = acc[..., 12:].reshape(P, C, 6, 3)
         else:
+            Hpp = oh_matmul(oh_p, outer_p).reshape(P, 3, 3)
+            bp = jnp.zeros((P, 3), dt).at[f_pt].add(gp)
             W = jnp.zeros((P, C, 6, 3), dt).at[f_pt, f_cam].add(Wcp)
         W = W.reshape(P, C * 6, 3)
 

@@ -91,15 +91,25 @@ def pose_optimize(model: int, params: jnp.ndarray, bf: jnp.ndarray,
         # per-edge chi2 with information weighting (2dof mono / 3dof stereo)
         return jnp.sum(res * res, axis=-1) * w_info
 
+    hub_d2 = jnp.where(is_stereo, STEREO_CHI2, MONO_CHI2)
+
+    def robust_cost(res, inlier):
+        chi2 = chi2_of(res)
+        w_rob = robust.huber_weight(chi2, hub_d2)
+        return jnp.sum(jnp.minimum(chi2, hub_d2 * 10) * w_rob * inlier)
+
     def lm_round(carry, delta2_gate):
         R, t, inlier = carry
 
         def body(_, st):
-            R, t, lam = st
-            res, J = _residuals_jac(model, params, bf, R, t, X, uv, u_right,
-                                    is_stereo)
+            # carried-residual LM: `res` was evaluated at the CURRENT
+            # accepted (R, t) — one residual evaluation per iteration
+            # (the candidate's residuals become next iteration's `res` on
+            # accept), half the evals of the classic eval-twice loop
+            R, t, res, cost, lam = st
+            _, J = _residuals_jac(model, params, bf, R, t, X, uv, u_right,
+                                  is_stereo)
             chi2 = chi2_of(res)
-            hub_d2 = jnp.where(is_stereo, STEREO_CHI2, MONO_CHI2)
             w_rob = robust.huber_weight(chi2, hub_d2)
             w = w_rob * w_info * inlier
             JW = J * w[:, None, None]
@@ -114,18 +124,21 @@ def pose_optimize(model: int, params: jnp.ndarray, bf: jnp.ndarray,
             # accept if robust cost decreased
             res_n, _ = _residuals_jac(model, params, bf, Rn, tn, X, uv,
                                       u_right, is_stereo)
-            c_old = jnp.sum(jnp.minimum(chi2_of(res), hub_d2 * 10) * w_rob * inlier)
-            chi2_n = chi2_of(res_n)
-            w_rob_n = robust.huber_weight(chi2_n, hub_d2)
-            c_new = jnp.sum(jnp.minimum(chi2_n, hub_d2 * 10) * w_rob_n * inlier)
-            good = c_new < c_old
+            c_new = robust_cost(res_n, inlier)
+            good = c_new < cost
             R = jnp.where(good, Rn, R)
             t = jnp.where(good, tn, t)
+            res = jnp.where(good, res_n, res)
+            cost = jnp.where(good, c_new, cost)
             lam = jnp.where(good, lam * 0.5, lam * 4.0)
-            return R, t, lam
+            return R, t, res, cost, lam
 
-        R, t, _ = jax.lax.fori_loop(
-            0, n_iters, body, (R, t, jnp.asarray(1e-3, dtype=R.dtype)))
+        res0, _ = _residuals_jac(model, params, bf, R, t, X, uv, u_right,
+                                 is_stereo)
+        R, t, _, _, _ = jax.lax.fori_loop(
+            0, n_iters, body,
+            (R, t, res0, robust_cost(res0, inlier),
+             jnp.asarray(1e-3, dtype=R.dtype)))
         # re-gate outliers for the next round (ref chi2 cut per round)
         res, _ = _residuals_jac(model, params, bf, R, t, X, uv, u_right, is_stereo)
         chi2 = chi2_of(res)

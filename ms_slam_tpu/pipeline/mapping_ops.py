@@ -283,11 +283,15 @@ triangulate_with = partial(jax.jit, static_argnames=("calib", "orb_cfg"))(
 
 def _fuse_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                kf_t: jnp.ndarray, cand_idx: jnp.ndarray,
-               cand_valid: jnp.ndarray):
+               cand_valid: jnp.ndarray, n_obs: jnp.ndarray = None):
     """Project candidate map points into keyframe kf_t; matched features
     either gain the observation or trigger a duplicate merge keeping the
     better-observed point (ref ORBmatcher::Fuse, src/ORBmatcher.cc:1404,
-    and MapPoint::Replace)."""
+    and MapPoint::Replace).
+
+    n_obs: optional precomputed (M,) observation counts — the full-table
+    count sweep is a ~4 ms serialized scatter on TPU, so callers that
+    already have a current table pass it in."""
     params = calib.params_array()
     pm = matching.search_by_projection(
         calib.model, params, ms.kf_R[kf_t], ms.kf_t[kf_t],
@@ -302,7 +306,8 @@ def _fuse_impl(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     cand_of_feat = jnp.where(pm.mp_slot >= 0,
                              cand_idx[jnp.clip(pm.mp_slot, 0)], -1)
     cur = ms.obs_mp[kf_t]
-    n_obs = M.mp_obs_count(ms)
+    if n_obs is None:
+        n_obs = M.mp_obs_count(ms)
 
     # features with no point: add observation
     add = (cand_of_feat >= 0) & (cur < 0)
@@ -421,6 +426,14 @@ class MappingStepOut(NamedTuple):
     """(4 + 2*Wk,) int32: [n_new_mp, n_factors, n_ba_outliers, n_culled,
     window slots (-1 padded, Wk), culled KF slots (-1 padded, Wk)] — one
     fetch per keyframe."""
+    n_obs: jnp.ndarray = None
+    """(M,) int32 per-point observation counts, current as of the end of
+    the step — handed back so tracking reuses it instead of re-running
+    the ~4 ms full-table count sweep per keyframe."""
+    obs_mask: jnp.ndarray = None
+    """(M, ceil(K/32)) uint32 per-point observer bitmask (see
+    map_state.observer_mask) — tracking's local-keyframe vote reads this
+    cached mask instead of sweeping the observation table per frame."""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
@@ -460,12 +473,18 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
                                        top_i[:n_tri], nb_ok, kf_ord)
 
     # --- fuse neighbor landmarks into the new keyframe ---
+    # (count sweep #1 of 2: a full-table scatter costs ~4 ms serialized on
+    # TPU, so the step computes exactly two — post-triangulation here for
+    # the fuse winner rule, and the post-BA per-octave sweep below that
+    # cull / redundancy / the returned tracking table all share)
+    n_obs_tri = M.mp_obs_count(ms)
     nmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
         jnp.where(top_w[:n_tri] > 0, top_i[:n_tri],
                   ms.kf_valid.shape[0])].set(True, mode="drop")
     cand_mask = M.local_map_mask(ms, jnp.arange(ms.kf_valid.shape[0]), nmask)
     c_idx, c_valid = M.gather_local_points(ms, cand_mask, pt_cap)
-    ms = _fuse_impl(ms, calib, orb_cfg, kf_slot, c_idx, c_valid)
+    ms = _fuse_impl(ms, calib, orb_cfg, kf_slot, c_idx, c_valid,
+                    n_obs=n_obs_tri)
 
     # --- BA window + fixed anchors (gauge handled by masking) ---
     win_idx = jnp.concatenate([kf_slot[None], top_i[:window_kf - 1]])
@@ -496,16 +515,20 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         ba_factors = jnp.zeros((), jnp.int32)
         ba_outliers = jnp.zeros((), jnp.int32)
 
-    # --- point culling ---
-    ms, n_culled = _cull_impl(ms, kf_ord)
+    # --- point culling (count sweep #2, shared: the per-octave table's
+    # last column is the total observation count; live points' counts are
+    # unchanged by the cull itself, so redundancy below reads the same
+    # table exactly) ---
+    n_levels = orb_cfg.n_levels
+    cum_oct = obs_count_by_octave(ms, n_levels)
+    ms, n_culled, n_obs_all = _cull_impl(ms, kf_ord,
+                                         cum_oct[:, n_levels - 1])
 
     # --- keyframe culling (ref LocalMapping::KeyFrameCulling :925):
     # window keyframes (not the new one, not slot 0) whose tracked points
     # are overwhelmingly observed by >=3 OTHER keyframes at the same or
     # finer scale (scaleLeveli <= scaleLevel+1) are redundant; the scale
     # condition protects keyframes that uniquely see fine detail ---
-    n_levels = orb_cfg.n_levels
-    cum_oct = obs_count_by_octave(ms, n_levels)
 
     def redundancy(k):
         obs = ms.obs_mp[k]
@@ -532,6 +555,13 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     kill_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
         jnp.where(kf_kill, win_idx, ms.kf_valid.shape[0])].set(
         True, mode="drop")
+    # maintain the shared count table through keyframe deletion (subtract
+    # the killed rows — a ~12K delta scatter, not another full sweep)
+    Mc = ms.mp_pos.shape[0]
+    rows = ms.obs_mp[win_idx]
+    dec_ok = (rows >= 0) & kf_kill[:, None]
+    n_obs_all = n_obs_all.at[jnp.where(dec_ok, rows, Mc)].add(
+        -1, mode="drop")
     ms = M.delete_keyframes(ms, kill_mask)
     win_mask = win_mask & ~kf_kill
 
@@ -541,7 +571,8 @@ def mapping_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         jnp.where(win_mask, win_idx, -1).astype(jnp.int32),
         # culled keyframe slots (feeds the host KF free-list)
         jnp.where(kf_kill, win_idx, -1).astype(jnp.int32)])
-    return MappingStepOut(ms=ms, info=info)
+    return MappingStepOut(ms=ms, info=info, n_obs=n_obs_all,
+                          obs_mask=M.observer_mask(ms))
 
 
 class KeyframeStepOut(NamedTuple):
@@ -551,6 +582,13 @@ class KeyframeStepOut(NamedTuple):
     n_ba_outliers, n_culled, n_obs_kf, R_kf row-major (9), t_kf (3),
     window slots (-1 padded, Wk), culled KF slots (-1 padded, Wk)] — ONE
     fetch for the entire keyframe path."""
+    n_obs: jnp.ndarray = None
+    """(M,) int32 per-point observation counts (device handle, never
+    fetched): tracking's keyframe-decision table, refreshed here for free
+    instead of by a separate full-table sweep per keyframe."""
+    obs_mask: jnp.ndarray = None
+    """(M, ceil(K/32)) uint32 observer bitmask for tracking (device
+    handle, never fetched)."""
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_tri", "window_kf",
@@ -582,8 +620,8 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
     # >= 3 observations count (ref KeyFrame::TrackedMapPoints(minObs=3) via
     # Tracking::NeedNewKeyFrame, src/Tracking.cc:3071-3075) — counting raw
     # observations (mostly 1-obs spawns) makes every frame "weak" and spams
-    # keyframes
-    n_obs_all = M.mp_obs_count(ms)
+    # keyframes. Reuses the step's maintained count table (sweep-free).
+    n_obs_all = out.n_obs
     row = ms.obs_mp[slot]
     n_obs = jnp.sum((row >= 0)
                     & (n_obs_all[jnp.clip(row, 0)] >= 3)).astype(jnp.int32)
@@ -593,7 +631,8 @@ def keyframe_step(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
         ms.kf_R[slot].reshape(9).astype(jnp.float32),
         ms.kf_t[slot].astype(jnp.float32),
         out.info[4:].astype(jnp.float32)])
-    return KeyframeStepOut(ms=ms, info=info)
+    return KeyframeStepOut(ms=ms, info=info, n_obs=out.n_obs,
+                           obs_mask=out.obs_mask)
 
 
 @partial(jax.jit, static_argnames=("calib", "orb_cfg", "n_sweeps"),
@@ -627,7 +666,8 @@ def global_ba(ms: M.MapState, calib: Calib, orb_cfg: OrbConfig,
 # Map point culling
 # ---------------------------------------------------------------------------
 
-def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray):
+def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray,
+               n_obs: jnp.ndarray = None):
     """Functional MapPointCulling (ref src/LocalMapping.cc:370): the
     reference only tests points still in mlpRecentAddedMapPoints — a point
     that survives ~3 keyframes leaves the list and persists forever (its
@@ -637,7 +677,8 @@ def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray):
     (the shared_ptr-free analog). Ages are measured in keyframes inserted
     since creation (ordinals, not pool slots — slots are recycled)."""
     age = current_kf_ord - ms.mp_first_ord
-    n_obs = M.mp_obs_count(ms)
+    if n_obs is None:
+        n_obs = M.mp_obs_count(ms)
     ratio = ms.mp_found.astype(jnp.float32) / jnp.maximum(
         ms.mp_visible.astype(jnp.float32), 1.0)
     young = age <= 3
@@ -645,10 +686,14 @@ def _cull_impl(ms: M.MapState, current_kf_ord: jnp.ndarray):
         (young & (ratio < 0.25))
         | (young & (age >= 2) & (n_obs <= 2))
         | (n_obs == 0))
-    return M.delete_map_points(ms, kill), jnp.sum(kill).astype(jnp.int32)
+    return (M.delete_map_points(ms, kill),
+            jnp.sum(kill).astype(jnp.int32),
+            jnp.where(kill, 0, n_obs))
 
 
-cull_map_points = jax.jit(_cull_impl)
+def cull_map_points(ms: M.MapState, current_kf_ord: jnp.ndarray):
+    ms, n_culled, _ = jax.jit(_cull_impl)(ms, current_kf_ord)
+    return ms, n_culled
 
 
 # ---------------------------------------------------------------------------

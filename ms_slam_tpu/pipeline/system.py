@@ -48,6 +48,11 @@ def _mp_obs_count_jit(ms: M.MapState) -> jnp.ndarray:
     return M.mp_obs_count(ms)
 
 
+@jax.jit
+def _observer_mask_jit(ms: M.MapState) -> jnp.ndarray:
+    return M.observer_mask(ms)
+
+
 def matching_TH_LOW():
     from ..ops.matching import TH_LOW
     return TH_LOW
@@ -151,6 +156,7 @@ class System:
         # changes at keyframe rate, so track_full reads this table instead
         # of re-scattering 262k obs entries every frame (~1.5 ms on v5e)
         self._n_obs_dev = None
+        self._obs_mask_dev = None
         self._obs_dirty = True
         self.n_kf = 0            # keyframe-pool high-water mark
         self.kf_ord = 0          # total keyframes ever created (monotonic)
@@ -798,6 +804,7 @@ class System:
         if (self._obs_dirty or self._n_obs_dev is None
                 or os.environ.get("MSSLAM_OBS_EVERY_FRAME")):
             self._n_obs_dev = _mp_obs_count_jit(self.ms)
+            self._obs_mask_dev = _observer_mask_jit(self.ms)
             self._obs_dirty = False
         if self._Rt_dev is None:
             self._Rt_dev = (jnp.asarray(self.last_R, jnp.float32),
@@ -823,7 +830,8 @@ class System:
                 jnp.asarray(self.Tbc[:3, :3], jnp.float32),
                 jnp.asarray(self.Tbc[:3, 3], jnp.float32),
                 last_matched, self._dev_scalar("ref_kf", self.ref_kf),
-                cfg.map.local_mp_cap, self._n_obs_dev)
+                cfg.map.local_mp_cap, self._n_obs_dev,
+                self._obs_mask_dev)
             self._v_dev, self._bias_dev = out.v, out.bias
         else:
             R_l2, t_l2 = (self._Rt_dev2 if self._Rt_dev2 is not None
@@ -832,7 +840,8 @@ class System:
                 self.ms, self.calib, self.orb, frame, R_last, t_last,
                 R_l2, t_l2, self._dev_scalar("has_vel", self._has_vel),
                 last_matched, self._dev_scalar("ref_kf", self.ref_kf),
-                cfg.map.local_mp_cap, self._n_obs_dev)
+                cfg.map.local_mp_cap, self._n_obs_dev,
+                self._obs_mask_dev)
         self.ms = out.ms                # input ms was donated
         try:
             out.stats.copy_to_host_async()
@@ -1254,7 +1263,13 @@ class System:
             ba_iters=cfg.ba_iters,
             cullable=cullable, red_th=red_th)
         self.ms = ko.ms
-        self._obs_dirty = True
+        # keyframe_step maintains the per-point observation-count table and
+        # hands it back as a device array — tracking reuses it directly
+        # instead of re-running the ~4 ms full-table sweep (obs-graph
+        # mutations outside the keyframe path still set _obs_dirty)
+        self._n_obs_dev = ko.n_obs
+        self._obs_mask_dev = ko.obs_mask
+        self._obs_dirty = False
         self.kf_ord += 1
         self.kf_order.append(slot)
         self.ref_kf = slot
@@ -1494,10 +1509,12 @@ class System:
             pt_cap=cfg.map.local_mp_cap, ba_iters=cfg.ba_iters,
             cullable=cullable, red_th=red_th)
         self.ms = out.ms
-        # mapping_step creates/fuses/culls map points — invalidate the
-        # cached obs-count table here, local to the mutation, rather than
-        # relying on callers to have set it
-        self._obs_dirty = True
+        # mapping_step creates/fuses/culls map points — take its maintained
+        # obs-count table here, local to the mutation, rather than relying
+        # on callers to refresh it
+        self._n_obs_dev = out.n_obs
+        self._obs_mask_dev = out.obs_mask
+        self._obs_dirty = False
         info = np.asarray(out.info)   # the one per-keyframe fetch
         self.n_mp += int(info[0])
         window = [int(v) for v in info[4:4 + Wk] if v >= 0]
